@@ -1,0 +1,152 @@
+"""Deterministic fixture corpus (FIXTURES.md §3) + the scaled synthetic corpus.
+
+Docs follow the input hint exactly:
+``(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)``.
+Code is split into spans at deterministic line boundaries; F8 interleaves
+media spans to exercise the span-sequence invariant. F7-style scaling
+(``skew_corpus``) stresses the hot-symbol call-linking join (every doc calls
+``printf``/``malloc``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import DOCS_SCHEMA
+
+F1_FLOW_C = """int flow(int p0) {
+  int a = p0;
+  int b=a;
+  int c=0x31;
+  int z = b + c;
+  z++;
+  int x = z;
+  return x;
+}"""
+
+F2_FREE_LIST_C = """void free_list(struct node *head) {
+  struct node *q;
+  for (struct node *p = head; p != NULL; p = q) {
+    q = p->next;
+    free(p);
+  }
+}"""
+
+F3_TEST_C = """int main() { print_number(42); return 0; }
+void print_number(int x) { printf(x); return; }"""
+
+F4_ZOO_C = """int zoo(int x) {
+  if (x < 10) { x += 1; } else { x -= 1; }
+  while (x > 0) { if (x == 5) break; x--; }
+  do { x++; } while (x < 3);
+  switch (x) { case 1: x = 2; break; default: x = 3; }
+  int y = (x > 0 && x < 100) ? x : 0;
+  return y;
+}"""
+
+F5_METHODTEST_JAVA = """public class MethodTest {
+  public static int staticMethod(int var) { return var; }
+  public int nonStaticMethod(int var) { return var; }
+  public String callsExternalMethod() { return super.toString(); }
+  private String internalMethod() { return ""; }
+  public String callsNoExternalMethod() { return internalMethod(); }
+}"""
+
+F6_DISPATCH_JAVA = """class A { int f() { return 1; } }
+class B extends A { int f() { return 2; } }
+class UseIt { int g(A a) { return a.f(); } }"""
+
+
+def split_code_spans(text: str, n_spans: int = 3) -> list[dict]:
+    """Split source text into n code spans at line boundaries (deterministic)."""
+    lines = text.split("\n")
+    n_spans = max(1, min(n_spans, len(lines)))
+    per = (len(lines) + n_spans - 1) // n_spans
+    spans = []
+    for k in range(n_spans):
+        chunk = "\n".join(lines[k * per:(k + 1) * per])
+        if chunk or k == 0:
+            spans.append({"kind": "code", "text": chunk, "media_ref": "",
+                          "offset": len(spans)})
+    return spans
+
+
+def with_media(spans: list[dict], refs: list[str], positions: list[int]) -> list[dict]:
+    """Interleave media spans at the given positions, renumbering offsets."""
+    out: list[dict] = []
+    ref_iter = iter(refs)
+    for i, s in enumerate(spans):
+        if i in positions:
+            out.append({"kind": "media", "text": "", "media_ref": next(ref_iter),
+                        "offset": 0})
+        out.append(dict(s))
+    while True:
+        try:
+            out.append({"kind": "media", "text": "", "media_ref": next(ref_iter),
+                        "offset": 0})
+        except StopIteration:
+            break
+    for i, s in enumerate(out):
+        s["offset"] = i
+    return out
+
+
+def fixture_docs() -> list[dict]:
+    docs = [
+        {"doc_id": "fixtures/c/flow", "spans": split_code_spans(F1_FLOW_C, 3)},
+        {"doc_id": "fixtures/c/free_list", "spans": split_code_spans(F2_FREE_LIST_C, 2)},
+        {"doc_id": "fixtures/c/test", "spans": split_code_spans(F3_TEST_C, 2)},
+        {"doc_id": "fixtures/c/zoo", "spans": split_code_spans(F4_ZOO_C, 4)},
+        {"doc_id": "fixtures/java/MethodTest.java", "spans": split_code_spans(F5_METHODTEST_JAVA, 3)},
+        {"doc_id": "fixtures/java/Dispatch.java", "spans": split_code_spans(F6_DISPATCH_JAVA, 3)},
+        # F8: F1 with interleaved media spans — parser output must be identical to F1
+        {"doc_id": "fixtures/c/flow_media",
+         "spans": with_media(split_code_spans(F1_FLOW_C, 3),
+                             ["bin://blob-1", "bin://blob-2"], [1])},
+    ]
+    return docs
+
+
+def skew_corpus(n_docs: int) -> "list[dict]":
+    """F7: n copies of F3 with unique helper names, all calling printf/malloc.
+
+    The hot keys (printf, malloc) land on every doc — at cluster scale this is
+    the skewed build side of the call-linking join.
+    """
+    docs = []
+    for k in range(n_docs):
+        helper = f"helper_{k:07d}"
+        src = (
+            f"int main_{k:07d}() {{\n"
+            f"  int a = {k % 97};\n"
+            f"  int b = a + {k % 13};\n"
+            f"  char *buf = malloc(b);\n"
+            f"  {helper}(a, b);\n"
+            f"  printf(buf);\n"
+            f"  if (a > b) {{ a = b; }} else {{ b = a; }}\n"
+            f"  while (a > 0) {{ a--; }}\n"
+            f"  return b;\n"
+            f"}}\n"
+            f"void {helper}(int x, int y) {{\n"
+            f"  int s = x + y;\n"
+            f"  printf(s);\n"
+            f"}}"
+        )
+        spans = split_code_spans(src, 3)
+        if k % 5 == 0:
+            spans = with_media(spans, [f"bin://skew-{k}"], [1])
+        docs.append({"doc_id": f"skew/{k:07d}", "spans": spans})
+    return docs
+
+
+def docs_df(spark: SparkSession, docs: list[dict], partitions: int | None = None) -> DataFrame:
+    rows = [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                           for s in d["spans"]]) for d in docs]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions, "doc_id")
+    return df
+
+
+def fixture_docs_df(spark: SparkSession) -> DataFrame:
+    return docs_df(spark, fixture_docs())

@@ -1,0 +1,153 @@
+"""Lower a parsed document (AstNode trees) to CPG node/edge row dicts.
+
+One call == the reference's per-file ``AstCreationPass.runOnPart`` +
+``Ast.storeInDiffGraph`` (``x2cpg/.../Ast.scala:25-52``: AST, ARGUMENT,
+CONDITION, RECEIVER edges) + ``ContainsEdgePass`` (``x2cpg/.../passes/base/
+ContainsEdgePass.scala:14-47`` — the tree is document-local, so transitive
+CONTAINS is derivable in the same pass) + ``FileCreationPass`` SOURCE_FILE
+edges for this document's FILE node.
+
+Runs inside the vectorized parse UDF; pure function of (doc_id, spans) with
+deterministic ids, so any partition can be recomputed independently.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from ..ids import node_id, stub_id
+from .ast_model import AstNode
+from .c_parser import parse_c
+
+_JAVA_HINT = re.compile(r"\bclass\s+\w+|\bpublic\s+class\b|\binterface\s+\w+")
+
+# node kinds that own CONTAINS scopes (reference ContainsEdgePass.scala:20-28)
+_CONTAINS_ROOTS = {"METHOD", "TYPE_DECL", "FILE"}
+# node kinds skipped as CONTAINS targets (reference: only CFG-relevant +
+# declarations get CONTAINS; we include all AST nodes except roots, matching
+# ContainsEdgePass which links every AST descendant to its nearest root)
+
+
+def detect_language(doc_id: str, text: str) -> str:
+    if doc_id.endswith(".java") or "/java" in doc_id or _JAVA_HINT.search(text):
+        return "java"
+    return "c"
+
+
+def _empty_node_row() -> dict[str, Any]:
+    return {
+        "node_id": None, "doc_id": None, "kind": None, "name": None,
+        "full_name": None, "code": None, "signature": None,
+        "dispatch_type": None, "order": None, "argument_index": None,
+        "line": None, "span_offset": None, "type_full_name": None,
+        "is_external": None, "media_ref": None, "parent_id": None,
+        "method_id": None, "ctrl_type": None, "filename": None,
+    }
+
+
+def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], list[dict], list[dict]]:
+    """Returns (node_rows, edge_rows, span_provenance_rows)."""
+    spans = sorted(spans, key=lambda s: s["offset"])
+    code_parts: list[str] = []
+    boundaries: list[tuple[int, int]] = []  # (start_char, span_offset)
+    cursor = 0
+    span_rows: list[dict] = []
+    for s in spans:
+        span_rows.append(
+            {"doc_id": doc_id, "span_offset": int(s["offset"]), "kind": s["kind"],
+             "text": s["text"] or "", "media_ref": s["media_ref"] or ""}
+        )
+        if s["kind"] == "code":
+            boundaries.append((cursor, int(s["offset"])))
+            code_parts.append(s["text"] or "")
+            cursor += len(s["text"] or "") + 1  # +1 for the joining newline
+    text = "\n".join(code_parts)
+
+    def span_of(pos: int) -> int:
+        off = boundaries[0][1] if boundaries else 0
+        for start, soff in boundaries:
+            if pos >= start:
+                off = soff
+            else:
+                break
+        return off
+
+    nodes: list[dict] = []
+    edges: list[dict] = []
+    counter = [0]
+
+    def next_id(pos: int) -> int:
+        counter[0] += 1
+        return node_id(doc_id, span_of(pos), counter[0])
+
+    # FILE node
+    file_id = node_id(doc_id, -1, 0)
+    file_row = _empty_node_row()
+    file_row.update(
+        node_id=file_id, doc_id=doc_id, kind="FILE", name=doc_id,
+        full_name=doc_id, code="", order=0, argument_index=0, line=0,
+        span_offset=-1, filename=doc_id,
+    )
+    nodes.append(file_row)
+
+    lang = detect_language(doc_id, text)
+    if lang == "java":
+        from .java_parser import parse_java
+        tops = parse_java(text)
+    else:
+        tops = parse_c(text)
+
+    def emit(n: AstNode, parent_id: int | None, method_id: int | None,
+             scope_root_id: int | None) -> int:
+        nid = next_id(n.pos)
+        row = _empty_node_row()
+        row.update(
+            node_id=nid, doc_id=doc_id, kind=n.kind, name=n.name,
+            full_name=n.full_name, code=n.code, signature=n.signature,
+            dispatch_type=n.dispatch_type, order=int(n.order),
+            argument_index=int(n.argument_index), line=int(n.line),
+            span_offset=span_of(n.pos), type_full_name=n.type_full_name,
+            is_external=bool(n.is_external), media_ref="",
+            parent_id=parent_id, ctrl_type=n.ctrl_type, filename=doc_id,
+        )
+        nodes.append(row)
+        this_method = nid if n.kind == "METHOD" else method_id
+        row["method_id"] = this_method if n.kind != "METHOD" else nid
+        this_scope = nid if n.kind in _CONTAINS_ROOTS else scope_root_id
+        if parent_id is not None:
+            edges.append(_edge(parent_id, nid, "AST", doc_id, this_method))
+        if scope_root_id is not None and n.kind not in _CONTAINS_ROOTS:
+            edges.append(_edge(scope_root_id, nid, "CONTAINS", doc_id, this_method))
+        elif scope_root_id is not None and n.kind in _CONTAINS_ROOTS:
+            edges.append(_edge(scope_root_id, nid, "CONTAINS", doc_id, method_id))
+        if n.kind in ("METHOD", "TYPE_DECL"):
+            edges.append(_edge(nid, file_id, "SOURCE_FILE", doc_id, this_method))
+        if n.kind == "TYPE_DECL" and n.type_full_name:
+            # INHERITS_FROM targets are global TYPE stubs whose ids are content
+            # hashes of the full name — linkable without a join (reference
+            # TypeHierarchyPass.scala:11-30 does explode+join; determinism of
+            # stub ids lets the hot path skip it, TYPE rows are created later).
+            for sup in n.type_full_name.split(","):
+                if sup:
+                    edges.append(_edge(nid, stub_id("TYPE", sup), "INHERITS_FROM",
+                                       doc_id, this_method))
+        for c in n.children:
+            cid = emit(c, nid, this_method, this_scope)
+            if c.argument_index and n.kind in ("CALL", "RETURN"):
+                edges.append(_edge(nid, cid, "ARGUMENT", doc_id, this_method))
+            if c.is_condition:
+                edges.append(_edge(nid, cid, "CONDITION", doc_id, this_method))
+            if c.is_receiver:
+                edges.append(_edge(nid, cid, "RECEIVER", doc_id, this_method))
+        return nid
+
+    for top in tops:
+        emit(top, file_id, None, file_id)
+
+    return nodes, edges, span_rows
+
+
+def _edge(src: int, dst: int, kind: str, doc_id: str, method_id: int | None) -> dict:
+    return {"src": src, "dst": dst, "kind": kind, "variable": "",
+            "doc_id": doc_id, "method_id": method_id}

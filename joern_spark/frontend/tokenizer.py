@@ -1,0 +1,83 @@
+"""Regex tokenizer for the C/Java fixture subset. Deterministic, position-aware."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+KEYWORDS = {
+    # C
+    "if", "else", "while", "do", "for", "switch", "case", "default", "break",
+    "continue", "goto", "return", "struct", "union", "enum", "typedef",
+    "sizeof", "static", "const", "unsigned", "signed", "void", "int", "char",
+    "short", "long", "float", "double",
+    # Java
+    "class", "interface", "extends", "implements", "public", "private",
+    "protected", "final", "abstract", "new", "this", "super", "boolean",
+    "byte", "String", "null", "true", "false", "try", "catch", "finally",
+    "throw", "throws", "import", "package", "instanceof",
+}
+
+TYPE_KEYWORDS = {
+    "void", "int", "char", "short", "long", "float", "double", "unsigned",
+    "signed", "const", "static", "struct", "union", "enum", "boolean", "byte",
+    "String", "final",
+}
+
+# multi-char operators first (longest match wins)
+_OPERATORS = [
+    "<<=", ">>=", "...", "->", "++", "--", "<<", ">>", "<=", ">=", "==", "!=",
+    "&&", "||", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "?", ":",
+    "+", "-", "*", "/", "%", "<", ">", "=", "!", "&", "|", "^", "~", ".", ",",
+    ";", "(", ")", "{", "}", "[", "]", "@",
+]
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<pp>\#[^\n]*)
+  | (?P<num>0[xX][0-9a-fA-F]+[uUlL]*|\d+\.\d+[fF]?|\d+[uUlL]*[fF]?)
+  | (?P<str>"(?:\\.|[^"\\])*")
+  | (?P<char>'(?:\\.|[^'\\])')
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>%s)
+    """
+    % "|".join(re.escape(o) for o in _OPERATORS),
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # ident | kw | num | str | char | op
+    text: str
+    pos: int  # char offset into the concatenated code text
+    line: int
+
+
+def tokenize(text: str) -> list[Token]:
+    tokens: list[Token] = []
+    line = 1
+    i = 0
+    n = len(text)
+    while i < n:
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            # unknown char: skip deterministically
+            if text[i] == "\n":
+                line += 1
+            i += 1
+            continue
+        kind = m.lastgroup
+        tok_text = m.group()
+        if kind in ("ws", "comment", "pp"):
+            line += tok_text.count("\n")
+            i = m.end()
+            continue
+        if kind == "ident" and tok_text in KEYWORDS:
+            kind = "kw"
+        tokens.append(Token(kind, tok_text, m.start(), line))
+        line += tok_text.count("\n")
+        i = m.end()
+    return tokens

@@ -1,0 +1,89 @@
+"""AST creation pass: docs → unified CPG row stream (nodes + edges + span
+provenance) via one vectorized ``mapInPandas`` over document partitions.
+
+Reference: ``c2cpg/.../passes/AstCreationPass.scala:20-76`` — parts are files,
+parsed in worker threads, absorbed per-part. Here parts are document-table
+partitions; each document is parsed exactly once and the unified row stream is
+split downstream by ``rowtype`` (persist/materialize before splitting so the
+parse is not re-run per consumer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..frontend.lowering import lower_doc
+from ..schema import CPGROW_SCHEMA_DDL, EDGE_COLUMNS, NODE_COLUMNS
+
+_ALL_COLUMNS = [c.strip().split(" ")[0] for c in CPGROW_SCHEMA_DDL.split(", ")]
+
+
+def _rows_for_doc(doc_id: str, spans) -> list[dict]:
+    span_dicts = [
+        {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],
+         "offset": s["offset"]}
+        for s in spans
+    ]
+    try:
+        node_rows, edge_rows, span_rows = lower_doc(doc_id, span_dicts)
+    except Exception as exc:  # total function: a bad doc degrades, not fails
+        return [{"rowtype": "error", "doc_id": doc_id, "code": repr(exc)[:500]}]
+    out: list[dict] = []
+    for n in node_rows:
+        r = dict(n)
+        r["rowtype"] = "node"
+        out.append(r)
+    for e in edge_rows:
+        out.append({
+            "rowtype": "edge", "doc_id": doc_id, "method_id": e["method_id"],
+            "edge_src": e["src"], "edge_dst": e["dst"], "edge_kind": e["kind"],
+            "edge_variable": e["variable"],
+        })
+    for s in span_rows:
+        out.append({
+            "rowtype": "span", "doc_id": doc_id, "span_offset": s["span_offset"],
+            "name": s["kind"], "code": s["text"], "media_ref": s["media_ref"],
+        })
+    return out
+
+
+def parse_docs(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans) → unified CPG row stream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                rows.extend(_rows_for_doc(doc_id, spans))
+            out = pd.DataFrame(rows)
+            for col in _ALL_COLUMNS:
+                if col not in out.columns:
+                    out[col] = None
+            yield out[_ALL_COLUMNS]
+
+    return docs.mapInPandas(run, schema=CPGROW_SCHEMA_DDL)
+
+
+def split_rows(cpg_rows: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split the unified stream into (nodes, edges, spans_provenance)."""
+    nodes = cpg_rows.filter(F.col("rowtype") == "node").select(*NODE_COLUMNS)
+    edges = (
+        cpg_rows.filter(F.col("rowtype") == "edge")
+        .select(
+            F.col("edge_src").alias("src"),
+            F.col("edge_dst").alias("dst"),
+            F.col("edge_kind").alias("kind"),
+            F.col("edge_variable").alias("variable"),
+            "doc_id",
+            "method_id",
+        )
+    )
+    spans = cpg_rows.filter(F.col("rowtype") == "span").select(
+        "doc_id", "span_offset", F.col("name").alias("kind"),
+        F.col("code").alias("text"), "media_ref",
+    )
+    return nodes, edges, spans
