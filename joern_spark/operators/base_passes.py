@@ -1,0 +1,253 @@
+"""Base + type-relation linking passes, as DataFrame joins.
+
+Reference passes re-expressed (SURVEY.md §2.A):
+- TypeNodePass (#3): distinct type names → TYPE rows.
+- TypeDeclStubCreator (#6): TYPE without TYPE_DECL → external stub (anti-join).
+- MethodStubCreator (#7): distinct call summaries without METHOD → stubs
+  (``x2cpg/.../passes/base/MethodStubCreator.scala:78-139`` shape: params
+  p1..pn, block order 1, RET order 2).
+- MethodDecoratorPass (#9): METHOD_PARAMETER_OUT + PARAMETER_LINK.
+- TypeRefPass (#12): REF edges TYPE → TYPE_DECL (broadcast equi-join).
+- TypeEvalPass (#13): EVAL_TYPE edges node → TYPE with C dereference
+  normalization (``Dereference.scala:22-29`` — strip ``*`` before linking).
+
+TYPE ids are content hashes of the dereferenced full name, so every pass that
+needs a TYPE id can compute it locally; joins remain for validation/linking
+only where the destination id is doc-local (TYPE_DECL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ids import stub_id
+from ..schema import EDGES_SCHEMA_DDL, NODES_SCHEMA_DDL, NODE_COLUMNS
+
+
+def _node_template(**kw) -> dict:
+    row = {c: None for c in NODE_COLUMNS}
+    row.update(doc_id="<global>", name="", full_name="", code="", signature="",
+               dispatch_type="", order=0, argument_index=0, line=0,
+               span_offset=-1, type_full_name="", is_external=False,
+               media_ref="", ctrl_type="", filename="<global>")
+    row.update(kw)
+    return row
+
+
+def dereference(col):
+    """C dereference normalization for linking (strip '*')."""
+    return F.regexp_replace(col, r"\*", "")
+
+
+def type_nodes(nodes: DataFrame) -> DataFrame:
+    """TypeNodePass: distinct dereferenced type names → TYPE rows."""
+    names = (
+        nodes.select(dereference(F.col("type_full_name")).alias("tn"))
+        .filter((F.col("tn").isNotNull()) & (F.col("tn") != ""))
+        .distinct()
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _node_template(node_id=stub_id("TYPE", tn), kind="TYPE",
+                               name=tn, full_name=tn, code=tn)
+                for tn in pdf["tn"]
+            ]
+            yield pd.DataFrame(rows, columns=NODE_COLUMNS)
+
+    return names.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+
+
+def type_decl_stubs(types: DataFrame, nodes: DataFrame) -> DataFrame:
+    """TypeDeclStubCreator: TYPE with no TYPE_DECL → external stub (anti-join)."""
+    decls = nodes.filter(F.col("kind") == "TYPE_DECL").select(
+        dereference(F.col("full_name")).alias("full_name")
+    ).distinct()
+    missing = types.select("full_name").join(
+        F.broadcast(decls), "full_name", "left_anti"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _node_template(node_id=stub_id("TYPE_DECL", fn), kind="TYPE_DECL",
+                               name=fn.split(".")[-1], full_name=fn, code=fn,
+                               is_external=True)
+                for fn in pdf["full_name"]
+            ]
+            yield pd.DataFrame(rows, columns=NODE_COLUMNS)
+
+    return missing.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+
+
+def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MethodStubCreator: distinct call summaries with no METHOD → stub rows.
+
+    Returns (stub_nodes, stub_ast_edges). The summary table is
+    vocabulary-sized (distinct full names), so the anti-join broadcasts.
+    """
+    arg_counts = (
+        edges.filter(F.col("kind") == "ARGUMENT")
+        .groupBy("src").agg(F.count("*").alias("n_args"))
+    )
+    calls = (
+        nodes.filter(F.col("kind") == "CALL")
+        .join(arg_counts, nodes["node_id"] == arg_counts["src"], "left")
+        .select(
+            F.col("name").alias("c_name"),
+            F.col("signature").alias("c_sig"),
+            F.col("full_name").alias("c_full"),
+            F.col("dispatch_type").alias("c_disp"),
+            F.coalesce(F.col("n_args"), F.lit(0)).alias("n_args"),
+        )
+        .groupBy("c_name", "c_sig", "c_full", "c_disp")
+        .agg(F.max("n_args").alias("n_args"))
+    )
+    methods = nodes.filter(F.col("kind") == "METHOD").select(
+        F.col("full_name").alias("c_full")
+    ).distinct()
+    missing = calls.join(F.broadcast(methods), "c_full", "left_anti")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            node_rows = []
+            for r in pdf.itertuples(index=False):
+                mid = stub_id("METHOD", r.c_full)
+                node_rows.append(_node_template(
+                    node_id=mid, kind="METHOD", name=r.c_name,
+                    full_name=r.c_full, signature=r.c_sig or "",
+                    code=r.c_name, is_external=True, method_id=mid,
+                ))
+                first = 0 if r.c_disp == "DYNAMIC_DISPATCH" else 1
+                for j, order in enumerate(range(first, int(r.n_args) + 1)):
+                    if order == 0 and first == 1:
+                        continue
+                    pname = f"p{order}"
+                    pid = stub_id("PARAM", r.c_full, order)
+                    node_rows.append(_node_template(
+                        node_id=pid, kind="METHOD_PARAMETER_IN", name=pname,
+                        code=pname, order=order, argument_index=j + 1,
+                        type_full_name="ANY", parent_id=mid, method_id=mid,
+                        is_external=True,
+                    ))
+                bid = stub_id("BLOCK", r.c_full)
+                node_rows.append(_node_template(
+                    node_id=bid, kind="BLOCK", order=1, argument_index=1,
+                    type_full_name="ANY", parent_id=mid, method_id=mid,
+                    is_external=True,
+                ))
+                rid = stub_id("RET", r.c_full)
+                node_rows.append(_node_template(
+                    node_id=rid, kind="METHOD_RETURN", code="RET", order=2,
+                    type_full_name="ANY", parent_id=mid, method_id=mid,
+                    is_external=True,
+                ))
+            yield pd.DataFrame(node_rows, columns=NODE_COLUMNS)
+
+    stub_nodes = missing.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    stub_edges = (
+        stub_nodes.filter(F.col("parent_id").isNotNull())
+        .select(
+            F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
+            F.lit("AST").alias("kind"), F.lit("").alias("variable"),
+            F.col("doc_id"), F.col("method_id"),
+        )
+    )
+    return stub_nodes, stub_edges
+
+
+def parameter_out_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """MethodDecoratorPass: synthesize METHOD_PARAMETER_OUT per PARAMETER_IN
+    + AST (method→paramOut) and PARAMETER_LINK (paramIn→paramOut) edges.
+
+    Pure projection — no shuffle: the paramOut id derives from the paramIn id.
+    """
+    params = nodes.filter(F.col("kind") == "METHOD_PARAMETER_IN")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                rows.append(_node_template(
+                    node_id=stub_id("PARAM_OUT", r["node_id"]),
+                    doc_id=r["doc_id"], kind="METHOD_PARAMETER_OUT",
+                    name=r["name"], code=r["code"], order=r["order"],
+                    argument_index=r["argument_index"], line=r["line"],
+                    span_offset=r["span_offset"],
+                    type_full_name=r["type_full_name"],
+                    parent_id=r["parent_id"], method_id=r["method_id"],
+                    filename=r["filename"],
+                ))
+            yield pd.DataFrame(rows, columns=NODE_COLUMNS)
+
+    outs = params.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    ast_edges = outs.select(
+        F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
+        F.lit("AST").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id",
+    )
+    link_edges = (
+        params.alias("p")
+        .join(outs.alias("o"),
+              (F.col("p.parent_id") == F.col("o.parent_id"))
+              & (F.col("p.order") == F.col("o.order")))
+        .select(
+            F.col("p.node_id").alias("src"), F.col("o.node_id").alias("dst"),
+            F.lit("PARAMETER_LINK").alias("kind"), F.lit("").alias("variable"),
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.method_id").alias("method_id"),
+        )
+    )
+    return outs, ast_edges.unionByName(link_edges)
+
+
+def type_ref_pass(types: DataFrame, nodes: DataFrame) -> DataFrame:
+    """TypeRefPass: REF edges TYPE → TYPE_DECL by full_name (broadcast join)."""
+    decls = nodes.filter(F.col("kind") == "TYPE_DECL").select(
+        dereference(F.col("full_name")).alias("fn"),
+        F.col("node_id").alias("decl_id"), "doc_id",
+    )
+    return (
+        types.select(F.col("full_name").alias("fn"), F.col("node_id").alias("type_id"))
+        .join(F.broadcast(decls), "fn")
+        .select(
+            F.col("type_id").alias("src"), F.col("decl_id").alias("dst"),
+            F.lit("REF").alias("kind"), F.lit("").alias("variable"),
+            "doc_id", F.lit(None).cast("long").alias("method_id"),
+        )
+    )
+
+
+# node kinds carrying an evaluated type (reference TypeEvalPass.scala:14-28)
+_EVAL_KINDS = [
+    "METHOD_PARAMETER_IN", "METHOD_PARAMETER_OUT", "METHOD_RETURN", "LOCAL",
+    "LITERAL", "CALL", "IDENTIFIER", "BLOCK", "MEMBER", "TYPE_REF", "UNKNOWN",
+    "METHOD_REF",
+]
+
+
+def eval_type_pass(nodes: DataFrame, types: DataFrame) -> DataFrame:
+    """TypeEvalPass: EVAL_TYPE node → TYPE via dereferenced TYPE_FULL_NAME.
+
+    linkToSingle pattern (``LinkingUtil.scala:42-100``): equi-join against the
+    broadcast TYPE dimension.
+    """
+    src = nodes.filter(
+        F.col("kind").isin(_EVAL_KINDS)
+        & F.col("type_full_name").isNotNull() & (F.col("type_full_name") != "")
+    ).select(
+        F.col("node_id").alias("src_id"),
+        dereference(F.col("type_full_name")).alias("fn"),
+        "doc_id", "method_id",
+    )
+    dim = types.select(F.col("full_name").alias("fn"), F.col("node_id").alias("type_id"))
+    return src.join(F.broadcast(dim), "fn").select(
+        F.col("src_id").alias("src"), F.col("type_id").alias("dst"),
+        F.lit("EVAL_TYPE").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id",
+    )

@@ -1,0 +1,229 @@
+"""Call-graph construction: static linking, CHA dynamic dispatch, naive fallback.
+
+Reference passes (SURVEY.md §2.A #21-24):
+- StaticCallLinker (``x2cpg/.../callgraph/StaticCallLinker.scala:11-47``):
+  STATIC_DISPATCH/INLINED calls joined to methods on full_name (+ signature
+  when the call carries one). This is the hot join — callee names like
+  ``printf``/``malloc`` are heavily skewed, so the METHOD dimension is
+  broadcast (map-side join: no shuffle of the skewed fact side at all); if the
+  dimension outgrew the broadcast threshold the fallback is AQE skew-join
+  (enabled in session conf).
+- DynamicCallLinker (``DynamicCallLinker.scala:25-229``): CHA/SAFEDISPATCH —
+  resolve each DYNAMIC_DISPATCH call ``T.m`` against every implementor of
+  ``m`` in the subclass closure of ``T``, with super-class fallback and
+  internal-preferred pruning. The inheritance transitive closure is a bounded
+  iterative self-join (class-hierarchy depth iterations).
+- NaiveCallLinker (``NaiveCallLinker.scala:13-28``): leftover calls by bare
+  name (last-resort alias dictionary).
+
+Also emits the ``link_misses`` side output (``LinkingUtil.logFailedDstLookup``
+analog) — calls that no linker resolved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_HIERARCHY_DEPTH = 20  # bound for the inheritance closure loop
+SMALL_HIERARCHY_LIMIT = 100_000  # driver-side closure below this many edges
+
+
+def _method_dim(nodes: DataFrame) -> DataFrame:
+    return (
+        nodes.filter(F.col("kind") == "METHOD")
+        .select(
+            F.col("full_name").alias("m_full"),
+            F.col("name").alias("m_name"),
+            F.col("signature").alias("m_sig"),
+            F.col("node_id").alias("m_id"),
+            F.col("is_external").alias("m_external"),
+        )
+    )
+
+
+def static_call_linker(nodes: DataFrame) -> DataFrame:
+    """CALL edges for STATIC_DISPATCH / INLINED calls (broadcast equi-join)."""
+    calls = nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("dispatch_type").isin("STATIC_DISPATCH", "INLINED")
+    ).select(
+        F.col("node_id").alias("call_id"),
+        F.col("full_name").alias("m_full"),
+        F.col("signature").alias("c_sig"),
+        "doc_id", "method_id",
+    )
+    methods = _method_dim(nodes)
+    joined = calls.join(F.broadcast(methods), "m_full")
+    # reference: signature is an extra conjunct only when the call has one
+    joined = joined.filter(
+        (F.col("c_sig").isNull()) | (F.col("c_sig") == "")
+        | (F.col("c_sig") == F.col("m_sig"))
+    )
+    return joined.select(
+        F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
+        F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id",
+    )
+
+
+def inheritance_closure(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Transitive subclass→superclass pairs over INHERITS_FROM.
+
+    Returns (sub_full, super_full) including the reflexive pair. Bounded
+    iterative self-join — iterations = class-hierarchy depth, which is small
+    even at web scale; each step is an equi-join on the closure frontier.
+    """
+    decls = nodes.filter(F.col("kind") == "TYPE_DECL").select(
+        F.col("node_id").alias("decl_id"), F.col("full_name").alias("decl_full")
+    )
+    types = nodes.filter(F.col("kind") == "TYPE").select(
+        F.col("node_id").alias("type_id"), F.col("full_name").alias("type_full")
+    )
+    base = (
+        edges.filter(F.col("kind") == "INHERITS_FROM")
+        .join(decls, F.col("src") == F.col("decl_id"))
+        .join(F.broadcast(types), F.col("dst") == F.col("type_id"))
+        .select(F.col("decl_full").alias("sub"), F.col("type_full").alias("sup"))
+        .distinct()
+    )
+    reflexive = decls.select(
+        F.col("decl_full").alias("sub"), F.col("decl_full").alias("sup")
+    ).distinct()
+    closure = base.unionByName(reflexive).distinct()
+    # the class hierarchy is a dimension (distinct class names), usually tiny
+    # relative to the fact tables: compute the closure driver-side and
+    # re-broadcast when it fits, otherwise fall back to bounded iterative
+    # self-joins (each iteration = one equi-join on the frontier).
+    spark = nodes.sparkSession
+    base_rows = base.limit(SMALL_HIERARCHY_LIMIT + 1).collect()
+    if len(base_rows) <= SMALL_HIERARCHY_LIMIT:
+        up: dict[str, set[str]] = {}
+        for r in base_rows:
+            up.setdefault(r["sub"], set()).add(r["sup"])
+        result: set[tuple[str, str]] = set()
+        for sub in up:
+            seen, stack = {sub}, [sub]
+            while stack:
+                cur = stack.pop()
+                for sup in up.get(cur, ()):
+                    if sup not in seen:
+                        seen.add(sup)
+                        stack.append(sup)
+            result.update((sub, sup) for sup in seen)
+        pairs = spark.createDataFrame(
+            sorted(result) or [("", "")], schema="sub string, sup string"
+        ).filter(F.col("sub") != "")
+        return pairs.unionByName(reflexive).distinct()
+    closure = closure.localCheckpoint()
+    for _ in range(MAX_HIERARCHY_DEPTH):
+        step = (
+            closure.alias("a")
+            .join(base.alias("b"), F.col("a.sup") == F.col("b.sub"))
+            .select(F.col("a.sub").alias("sub"), F.col("b.sup").alias("sup"))
+        )
+        new_closure = closure.unionByName(step).distinct().localCheckpoint()
+        if new_closure.count() == closure.count():
+            closure = new_closure
+            break
+        closure = new_closure
+    return closure
+
+
+def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """CHA resolution for DYNAMIC_DISPATCH calls.
+
+    call full_name = ``Recv.m`` → candidates = methods ``C.m`` for every C in
+    subclass-closure(Recv); if none, walk up the superclass chain
+    (``DynamicCallLinker.scala:142-167``); prefer internal methods over
+    external stubs (``:187-196``).
+    """
+    calls = nodes.filter(
+        (F.col("kind") == "CALL") & (F.col("dispatch_type") == "DYNAMIC_DISPATCH")
+        & F.col("full_name").contains(".")
+    ).select(
+        F.col("node_id").alias("call_id"),
+        F.col("full_name").alias("c_full"),
+        F.col("name").alias("c_name"),
+        "doc_id", "method_id",
+        F.expr("substring_index(full_name, '.', 1)").alias("recv_type"),
+    )
+    methods = _method_dim(nodes).withColumn(
+        "m_class", F.expr("substring_index(m_full, '.', 1)")
+    )
+    closure = inheritance_closure(nodes, edges)
+
+    # subclass closure: recv_type → every sub where sub inherits recv
+    subclasses = closure.select(
+        F.col("sup").alias("recv_type"), F.col("sub").alias("impl_class")
+    )
+    down = (
+        calls.join(F.broadcast(subclasses), "recv_type")
+        .join(
+            F.broadcast(methods),
+            (F.col("impl_class") == F.col("m_class"))
+            & (F.col("c_name") == F.col("m_name")),
+        )
+    )
+    # superclass fallback for calls with no downward candidates
+    resolved_ids = down.select("call_id").distinct()
+    supers = closure.select(
+        F.col("sub").alias("recv_type"), F.col("sup").alias("impl_class")
+    )
+    up = (
+        calls.join(resolved_ids, "call_id", "left_anti")
+        .join(F.broadcast(supers), "recv_type")
+        .join(
+            F.broadcast(methods),
+            (F.col("impl_class") == F.col("m_class"))
+            & (F.col("c_name") == F.col("m_name")),
+        )
+    )
+    candidates = down.unionByName(up)
+    # prefer-internal pruning: if any internal candidate exists for a call,
+    # drop the external stubs (window over call_id).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("call_id")
+    candidates = (
+        candidates.withColumn(
+            "has_internal", F.max(F.when(~F.col("m_external"), 1).otherwise(0)).over(w)
+        )
+        .filter((F.col("has_internal") == 0) | (~F.col("m_external")))
+    )
+    return candidates.select(
+        F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
+        F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id",
+    ).distinct()
+
+
+def naive_call_linker(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
+    """Leftover calls linked by bare name against non-operator methods."""
+    calls = nodes.filter(
+        (F.col("kind") == "CALL") & ~F.col("name").startswith("<operator>")
+    ).select(
+        F.col("node_id").alias("call_id"), F.col("name").alias("m_name"),
+        "doc_id", "method_id",
+    )
+    unlinked = calls.join(
+        call_edges.select(F.col("src").alias("call_id")).distinct(),
+        "call_id", "left_anti",
+    )
+    methods = _method_dim(nodes).filter(~F.col("m_name").startswith("<operator>"))
+    return unlinked.join(F.broadcast(methods), "m_name").select(
+        F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
+        F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id",
+    )
+
+
+def link_misses(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
+    """Side output: calls that no linker resolved (LinkingUtil.scala:142-154)."""
+    calls = nodes.filter(F.col("kind") == "CALL").select(
+        F.col("node_id").alias("call_id"), "name", "full_name", "doc_id"
+    )
+    return calls.join(
+        call_edges.select(F.col("src").alias("call_id")).distinct(),
+        "call_id", "left_anti",
+    )

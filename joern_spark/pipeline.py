@@ -1,0 +1,157 @@
+"""End-to-end CPG triple factory (SURVEY.md §7.1 stage order).
+
+docs → [ast] parse (mapInPandas) → [base] type/stub/paramOut passes (joins)
+     → [cfg] per-method fringe kernel → [callgraph] static/CHA/naive linkers
+     → [dataflow] reaching-def kernels → [triples] materialization,
+each stage a pure DataFrame transformation; materialized stages write
+partitioned parquet + lineage rows + a resume manifest.
+
+In memory-only mode (tests) the unified parse output is cached instead of
+written; on a cluster every stage boundary is a parquet/Iceberg snapshot so
+any failed partition range resumes from the manifest without recomputation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import append_lineage, read_manifest, write_manifest
+from .operators.ast_pass import parse_docs, split_rows
+from .operators.base_passes import (
+    eval_type_pass,
+    method_stubs,
+    parameter_out_pass,
+    type_decl_stubs,
+    type_nodes,
+    type_ref_pass,
+)
+from .operators.callgraph import (
+    dynamic_call_linker,
+    link_misses,
+    naive_call_linker,
+    static_call_linker,
+)
+from .operators.cfg_pass import cfg_pass
+from .operators.reaching_def import reaching_def_pass
+from .triples import build_triples, part_id_col
+
+
+@dataclass
+class CpgResult:
+    nodes: DataFrame
+    edges: DataFrame
+    spans: DataFrame
+    triples: DataFrame
+    link_misses: DataFrame
+    stats: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str | None = None,
+    n_parts: int = 32,
+    with_dataflow: bool = True,
+) -> CpgResult:
+    stats: dict = {}
+
+    # ---- stage: ast (resumable per partition) -----------------------------
+    t0 = time.time()
+    docs = docs.withColumn("part_id", part_id_col(n_parts=n_parts))
+    if out_dir:
+        ast_dir = os.path.join(out_dir, "ast_rows")
+        manifest = read_manifest(out_dir, "ast")
+        done = set(manifest["part_ids"]) if manifest else set()
+        todo_docs = docs.filter(~F.col("part_id").isin(sorted(done))) if done else docs
+        if done:
+            stats["ast_resumed_parts"] = len(done)
+        # any remaining partitions are parsed and appended; completed ones are
+        # read back untouched (resume without recomputation)
+        if todo_docs.limit(1).count() > 0 or not done:
+            rows_new = parse_docs(todo_docs.repartition(n_parts, "doc_id")) \
+                .withColumn("part_id", part_id_col(n_parts=n_parts))
+            rows_new.write.mode("append").partitionBy("part_id").parquet(ast_dir)
+            append_lineage(spark, out_dir, rows_new, "ast", t0)
+            all_parts = [r[0] for r in docs.select("part_id").distinct().collect()]
+            write_manifest(out_dir, "ast", all_parts, complete=True)
+        cpg_rows = spark.read.parquet(ast_dir)
+    else:
+        cpg_rows = parse_docs(docs.repartition(min(n_parts, 32), "doc_id"))
+        cpg_rows = cpg_rows.persist()
+
+    nodes0, edges0, spans = split_rows(cpg_rows)
+
+    # ---- stage: base (types, stubs, paramOuts, type linking) ---------------
+    types = type_nodes(nodes0)
+    decl_stubs = type_decl_stubs(types, nodes0)
+    m_stubs, m_stub_edges = method_stubs(nodes0, edges0)
+    param_outs, param_edges = parameter_out_pass(nodes0)
+
+    nodes = (
+        nodes0.unionByName(types).unionByName(decl_stubs)
+        .unionByName(m_stubs).unionByName(param_outs)
+    )
+    base_edges = (
+        edges0.unionByName(m_stub_edges).unionByName(param_edges)
+        .unionByName(type_ref_pass(types, nodes0))
+        .unionByName(eval_type_pass(nodes, types))
+    )
+
+    if out_dir:
+        t1 = time.time()
+        nodes = _materialize(spark, nodes, os.path.join(out_dir, "nodes"), "doc_id")
+        append_lineage(spark, out_dir,
+                       nodes.withColumn("part_id", part_id_col(n_parts=n_parts)),
+                       "base_nodes", t1)
+        write_manifest(out_dir, "base", list(range(n_parts)), complete=True)
+    else:
+        nodes = nodes.persist()
+
+    # ---- stage: controlflow -------------------------------------------------
+    cfg_edges = cfg_pass(nodes0)
+
+    # ---- stage: callgraph ----------------------------------------------------
+    call_edges = static_call_linker(nodes)
+    call_edges = call_edges.unionByName(dynamic_call_linker(nodes, base_edges))
+    call_edges = call_edges.unionByName(naive_call_linker(nodes, call_edges))
+
+    edges = base_edges.unionByName(cfg_edges).unionByName(call_edges)
+
+    if out_dir:
+        t2 = time.time()
+        edges = _materialize(spark, edges, os.path.join(out_dir, "edges_pre_ddg"), "doc_id")
+        append_lineage(spark, out_dir,
+                       edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
+                       "edges_pre_ddg", t2)
+    else:
+        edges = edges.persist()
+
+    # ---- stage: dataflow ------------------------------------------------------
+    if with_dataflow:
+        rd_edges = reaching_def_pass(nodes, edges)
+        edges = edges.unionByName(rd_edges)
+
+    misses = link_misses(nodes, call_edges)
+
+    # ---- stage: triples --------------------------------------------------------
+    triples = build_triples(nodes, edges, spans, n_parts=n_parts)
+    if out_dir:
+        t3 = time.time()
+        triples_dir = os.path.join(out_dir, "triples")
+        triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_dir)
+        triples = spark.read.parquet(triples_dir)
+        append_lineage(spark, out_dir, triples, "triples", t3)
+        write_manifest(out_dir, "triples", list(range(n_parts)), complete=True)
+
+    return CpgResult(nodes=nodes, edges=edges, spans=spans, triples=triples,
+                     link_misses=misses, stats=stats)
+
+
+def _materialize(spark: SparkSession, df: DataFrame, path: str, *_part_cols) -> DataFrame:
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

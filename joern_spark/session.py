@@ -37,6 +37,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # pipeline stages reuse the parse output on several join sides; the
+        # lineage-based ambiguity check misfires on those legitimate reuses
+        .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,74 @@
+"""Materialize nodes/edges as (subj, pred, obj) triples.
+
+Granularity matches the reference's per-function JSON diff tooling
+(``/root/reference/compareJson.py``): node-kind triples, property triples,
+edge triples, plus media-span provenance triples (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PARTS_DEFAULT = 32
+
+_PROP_COLUMNS = ["name", "full_name", "code", "signature", "dispatch_type"]
+_INT_PROP_COLUMNS = ["order", "argument_index"]
+
+
+def part_id_col(doc_col="doc_id", n_parts: int = N_PARTS_DEFAULT):
+    return F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_parts)).cast("int")
+
+
+def build_triples(nodes: DataFrame, edges: DataFrame, spans: DataFrame,
+                  n_parts: int = N_PARTS_DEFAULT) -> DataFrame:
+    sid = F.col("node_id").cast("string")
+    pid = part_id_col(n_parts=n_parts)
+
+    kind_t = nodes.select(
+        sid.alias("subj"), F.lit("kind").alias("pred"),
+        F.col("kind").alias("obj"), "doc_id", pid.alias("part_id"),
+    )
+
+    prop_frames = []
+    for p in _PROP_COLUMNS:
+        prop_frames.append(
+            nodes.filter(F.col(p).isNotNull() & (F.col(p) != "")).select(
+                sid.alias("subj"), F.lit(p).alias("pred"),
+                F.col(p).alias("obj"), "doc_id", pid.alias("part_id"),
+            )
+        )
+    for p in _INT_PROP_COLUMNS:
+        prop_frames.append(
+            nodes.filter(F.col(p).isNotNull()).select(
+                sid.alias("subj"), F.lit(p).alias("pred"),
+                F.col(p).cast("string").alias("obj"), "doc_id", pid.alias("part_id"),
+            )
+        )
+
+    edge_t = edges.select(
+        F.col("src").cast("string").alias("subj"),
+        F.col("kind").alias("pred"),
+        F.col("dst").cast("string").alias("obj"),
+        "doc_id", pid.alias("part_id"),
+    )
+
+    # media provenance: (file_node_id, media_ref, ref) in span order
+    files = nodes.filter(F.col("kind") == "FILE").select(
+        F.col("doc_id").alias("f_doc"), F.col("node_id").alias("file_id")
+    )
+    media_t = (
+        spans.filter(F.col("kind") == "media")
+        .join(F.broadcast(files), F.col("doc_id") == F.col("f_doc"))
+        .select(
+            F.col("file_id").cast("string").alias("subj"),
+            F.lit("media_ref").alias("pred"),
+            F.col("media_ref").alias("obj"),
+            "doc_id", pid.alias("part_id"),
+        )
+    )
+
+    out = kind_t
+    for fr in prop_frames:
+        out = out.unionByName(fr)
+    return out.unionByName(edge_t).unionByName(media_t)
