@@ -54,15 +54,25 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
 def parse_docs(docs: DataFrame) -> DataFrame:
     """docs(doc_id, spans) → unified CPG row stream."""
 
+    # the unified stream mixes node and edge rows, so every id column has
+    # nulls; they MUST be nullable Int64 (not float64) or 64-bit hash ids
+    # silently lose precision above 2^53
+    _ID_COLS = ["node_id", "parent_id", "method_id", "edge_src", "edge_dst",
+                "order", "argument_index", "line", "span_offset"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 rows.extend(_rows_for_doc(doc_id, spans))
-            out = pd.DataFrame(rows)
+            # dtype=object first: letting pandas infer would coerce
+            # int-with-null columns to float64 at construction time
+            out = pd.DataFrame(rows, dtype=object)
             for col in _ALL_COLUMNS:
                 if col not in out.columns:
                     out[col] = None
+            for col in _ID_COLS:
+                out[col] = out[col].astype("Int64")
             yield out[_ALL_COLUMNS]
 
     return docs.mapInPandas(run, schema=CPGROW_SCHEMA_DDL)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..ids import stub_id
-from ..schema import EDGES_SCHEMA_DDL, NODES_SCHEMA_DDL, NODE_COLUMNS
+from ..schema import EDGES_SCHEMA_DDL, NODES_SCHEMA_DDL, NODE_COLUMNS, rows_to_pdf
 
 
 def _node_template(**kw) -> dict:
@@ -58,7 +58,7 @@ def type_nodes(nodes: DataFrame) -> DataFrame:
                                name=tn, full_name=tn, code=tn)
                 for tn in pdf["tn"]
             ]
-            yield pd.DataFrame(rows, columns=NODE_COLUMNS)
+            yield rows_to_pdf(rows, NODE_COLUMNS)
 
     return names.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
 
@@ -80,7 +80,7 @@ def type_decl_stubs(types: DataFrame, nodes: DataFrame) -> DataFrame:
                                is_external=True)
                 for fn in pdf["full_name"]
             ]
-            yield pd.DataFrame(rows, columns=NODE_COLUMNS)
+            yield rows_to_pdf(rows, NODE_COLUMNS)
 
     return missing.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
 
@@ -147,7 +147,7 @@ def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
                     type_full_name="ANY", parent_id=mid, method_id=mid,
                     is_external=True,
                 ))
-            yield pd.DataFrame(node_rows, columns=NODE_COLUMNS)
+            yield rows_to_pdf(node_rows, NODE_COLUMNS)
 
     stub_nodes = missing.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
     stub_edges = (
@@ -183,7 +183,7 @@ def parameter_out_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
                     parent_id=r["parent_id"], method_id=r["method_id"],
                     filename=r["filename"],
                 ))
-            yield pd.DataFrame(rows, columns=NODE_COLUMNS)
+            yield rows_to_pdf(rows, NODE_COLUMNS)
 
     outs = params.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
     ast_edges = outs.select(

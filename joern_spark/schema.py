@@ -76,3 +76,23 @@ DOCS_SCHEMA = T.StructType(
 
 NODE_COLUMNS = [f.strip().split(" ")[0] for f in NODES_SCHEMA_DDL.split(", ")]
 EDGE_COLUMNS = [f.strip().split(" ")[0] for f in EDGES_SCHEMA_DDL.split(", ")]
+
+# long/int columns that may carry nulls at pandas-UDF boundaries. They must be
+# materialized as nullable Int64 — naive pd.DataFrame construction would
+# coerce int-with-null columns to float64, silently corrupting 64-bit hash
+# ids above 2^53.
+ID_COLUMNS = [
+    "node_id", "parent_id", "method_id", "src", "dst", "edge_src", "edge_dst",
+    "order", "argument_index", "line", "span_offset",
+]
+
+
+def rows_to_pdf(rows, columns):
+    """list-of-dicts → pandas frame safe for Arrow: exact Int64 id columns."""
+    import pandas as pd
+
+    out = pd.DataFrame(rows, columns=columns, dtype=object)
+    for c in ID_COLUMNS:
+        if c in out.columns:
+            out[c] = out[c].astype("Int64")
+    return out

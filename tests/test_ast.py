@@ -1,0 +1,103 @@
+"""AST-layer golden tests (reference: c2cpg/src/test/.../passes/ast/* suites).
+
+Asserts node kinds, operator lowering (AstForExpressionsCreator.scala:13-58),
+sibling ordering (Ast.scala:68-82), and ARGUMENT edge structure for the
+fixture programs.
+"""
+
+from collections import Counter
+
+from tests.conftest import F1, F2, F3, F4, F5
+
+
+def test_flow_node_inventory(g):
+    kinds = Counter(g.doc_nodes(F1)["kind"])
+    assert kinds["METHOD"] == 1
+    assert kinds["METHOD_PARAMETER_IN"] == 1
+    assert kinds["METHOD_RETURN"] == 1
+    assert kinds["LOCAL"] == 5  # a b c z x
+    assert kinds["CALL"] == 7  # 5 assignments + addition + postIncrement
+    assert kinds["LITERAL"] == 1  # 0x31
+    assert kinds["RETURN"] == 1
+    assert kinds["IDENTIFIER"] == 12
+    assert kinds["FILE"] == 1
+
+
+def test_flow_operator_lowering(g):
+    """Everything-is-a-call: operators become CALL nodes with <operator>.* names."""
+    calls = g.doc_nodes(F1)
+    calls = calls[calls["kind"] == "CALL"]
+    names = Counter(calls["name"])
+    assert names["<operator>.assignment"] == 5
+    assert names["<operator>.addition"] == 1
+    assert names["<operator>.postIncrement"] == 1
+
+
+def test_free_list_operator_lowering(g):
+    names = set(g.doc_nodes(F2)[g.doc_nodes(F2)["kind"] == "CALL"]["name"])
+    assert "<operator>.indirectFieldAccess" in names  # p->next
+    assert "<operator>.notEquals" in names  # p != NULL
+    assert "free" in names
+
+
+def test_zoo_control_structures(g):
+    nodes = g.doc_nodes(F4)
+    ctrl = nodes[nodes["kind"] == "CONTROL_STRUCTURE"]
+    assert set(ctrl["ctrl_type"]) >= {"IF", "WHILE", "DO", "SWITCH"}
+    names = set(nodes[nodes["kind"] == "CALL"]["name"])
+    assert "<operator>.conditional" in names  # ternary
+    assert "<operator>.logicalAnd" in names  # short-circuit &&
+    assert "<operator>.assignmentPlus" in names  # x += 1
+
+
+def test_argument_edges_flow(g):
+    """Assignment a = p0 has ARGUMENT edges to 'a' and 'p0'."""
+    args = g.edge_codes(F1, "ARGUMENT")
+    assert ("a = p0", "a") in args
+    assert ("a = p0", "p0") in args
+    assert ("b + c", "b") in args
+    assert ("b + c", "c") in args
+    assert ("return x", "x") in args
+
+
+def test_ast_sibling_order(g):
+    """Block children carry 1-based consecutive order (Ast.scala:68-82)."""
+    nodes = g.doc_nodes(F1)
+    block_id = nodes[nodes["kind"] == "BLOCK"].index[0]
+    ast = g.doc_edges(F1, "AST")
+    child_ids = ast[ast["src"] == block_id]["dst"]
+    orders = sorted(g.nodes.loc[c, "order"] for c in child_ids)
+    assert orders == list(range(1, len(orders) + 1))
+
+
+def test_call_args_have_argument_index(g):
+    nodes = g.doc_nodes(F3)
+    lit42 = nodes[(nodes["kind"] == "LITERAL") & (nodes["code"] == "42")]
+    assert len(lit42) == 1
+    assert lit42["argument_index"].iloc[0] == 1
+
+
+def test_java_methods(g):
+    methods = g.doc_nodes(F5)
+    methods = methods[methods["kind"] == "METHOD"]
+    assert {
+        "staticMethod", "nonStaticMethod", "callsExternalMethod",
+        "internalMethod", "callsNoExternalMethod",
+    } <= set(methods["name"])
+
+
+def test_method_full_names_qualified(g):
+    methods = g.doc_nodes(F5)
+    methods = methods[methods["kind"] == "METHOD"]
+    full = set(methods["full_name"])
+    assert any(f.startswith("MethodTest.") for f in full)
+
+
+def test_contains_edges_cover_method_body(g):
+    """CONTAINS gives O(1) owner lookup (ContainsEdgePass.scala:14-47)."""
+    nodes = g.doc_nodes(F1)
+    method_id = nodes[nodes["kind"] == "METHOD"].index[0]
+    contains = g.doc_edges(F1, "CONTAINS")
+    owned = set(contains[contains["src"] == method_id]["dst"])
+    body = nodes[nodes["kind"].isin(["CALL", "IDENTIFIER", "LITERAL", "RETURN", "BLOCK", "LOCAL"])]
+    assert set(body.index) <= owned

@@ -1,0 +1,116 @@
+"""CFG golden successor-set tests.
+
+Mirrors the reference's CfgTestFixture.succOf style
+(x2cpg/src/test/.../testfixtures/CfgTestFixture.scala:45-70): for each node
+identified by its code string, assert the exact set of CFG successor code
+strings. Semantics under test come from CfgCreator.scala:41-627 — argument
+evaluation before the enclosing call, short-circuit &&/||, ternary branches,
+loop back-edges, do/while, switch with break, method entry/exit wiring.
+"""
+
+from tests.conftest import F1, F2, F4
+
+
+# ---- straight-line (flow.c) ------------------------------------------------
+
+def test_flow_entry_and_exit(g):
+    assert g.succ_of(F1, "int flow(int p0)") == {"a"}
+    assert g.succ_of(F1, "return x") == {"RET"}
+
+
+def test_flow_assignment_chain(g):
+    # target evaluates, then RHS, then the assignment call, then next statement
+    # (succ_of unions over both identifiers spelled 'a': in `a = p0` and `b=a`)
+    assert g.succ_of(F1, "a") == {"p0", "b=a"}
+    assert g.succ_of(F1, "p0") == {"a = p0"}
+    assert g.succ_of(F1, "a = p0") == {"b"}
+    assert g.succ_of(F1, "b=a") == {"c"}
+    assert g.succ_of(F1, "0x31") == {"c=0x31"}
+    assert g.succ_of(F1, "b + c") == {"z = b + c"}
+    assert g.succ_of(F1, "z++") == {"x"}
+    assert g.succ_of(F1, "x = z") == {"x"}
+
+
+# ---- for loop with break-out condition (free_list.c) -----------------------
+
+def test_for_loop_condition_branches(g):
+    # p != NULL: true → loop body (q of q = p->next), false → method exit
+    assert g.succ_of(F2, "p != NULL") == {"q", "RET"}
+
+
+def test_for_loop_back_edge(g):
+    # update p = q flows back to the condition's first operand
+    assert g.succ_of(F2, "p = q") == {"p"}
+    assert g.succ_of(F2, "free(p)") == {"p"}  # next stmt is update expr's read of p … via loop
+
+
+def test_for_init_enters_condition(g):
+    assert g.succ_of(F2, "p = head") == {"p"}
+
+
+# ---- control-structure zoo -------------------------------------------------
+
+def test_if_branches(g):
+    # if (x < 10): true → then-body (x of x += 1), false → else-body (x of x -= 1);
+    # both targets are spelled 'x' so count successors at node-id level
+    nodes = g.doc_nodes(F4)
+    cond_id = nodes[nodes["code"] == "x < 10"].index[0]
+    e = g.doc_edges(F4, "CFG")
+    assert len(e[e["src"] == cond_id]) == 2
+    assert g.succ_of(F4, "x < 10") == {"x"}
+
+
+def test_while_condition_branches(g):
+    # while (x > 0) {...}: one of the x > 0 nodes branches into body and out
+    succs = [g.succ_of(F4, c) for c in ["x > 0"]]
+    # both x > 0 occurrences (while cond, && lhs) exist; union covers 3+ targets
+    assert len(succs[0]) >= 2
+
+
+def test_do_while(g):
+    # do { x++ } while (x < 3): condition true → body (x of x++), false → next
+    assert "x" in g.succ_of(F4, "x < 3")
+    assert g.succ_of(F4, "x++") == {"x"}
+
+
+def test_switch_cases(g):
+    # switch jump targets flow into their statements
+    assert g.succ_of(F4, "case 1:") == {"x"}
+    assert g.succ_of(F4, "default:") == {"x"}
+    assert g.succ_of(F4, "x = 2") == {"break;"}
+
+
+def test_ternary_branches(g):
+    # (cond) ? x : 0 — both branch values flow into the conditional call
+    assert "(x > 0 && x < 100) ? x : 0" in g.succ_of(F4, "x")
+    assert "(x > 0 && x < 100) ? x : 0" in g.succ_of(F4, "0")
+
+
+def test_short_circuit_and(g):
+    # x > 0 && x < 100: lhs false → the && node directly; lhs true → rhs
+    succ = g.succ_of(F4, "x > 0")
+    assert "x > 0 && x < 100" in succ  # short-circuit edge
+
+
+def test_cfg_connectivity_every_method(g):
+    """Every CFG node is reachable from its METHOD entry (no orphan islands)."""
+    for doc in [F1, F2, F4]:
+        edges = g.edge_codes(doc, "CFG")
+        nodes_with_cfg = {s for s, _ in edges} | {d for _, d in edges}
+        entries = {
+            c for c in nodes_with_cfg
+            if not any(d == c for _, d in edges)
+        }
+        # walk forward from entries
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        seen = set(entries)
+        stack = list(entries)
+        while stack:
+            cur = stack.pop()
+            for nxt in adj.get(cur, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        assert seen == nodes_with_cfg, f"unreachable CFG nodes in {doc}: {nodes_with_cfg - seen}"
