@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — synthesize the interleaved-doc corpus from
+  the sf0.001 ``documents`` table, run the full CPG triple-factory pipeline,
+  return the triples DataFrame.
+- ``queries()``: CPG pipeline queries (rows-only — parsing is not
+  SQL-expressible) + training-data analytics with exact DuckDB oracles.
+- ``oracle_sql()``: ANSI SQL equivalents for every SQL-expressible entry.
 """
 
 from __future__ import annotations
@@ -12,27 +13,107 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from joern_spark import analytics
+from joern_spark.pipeline import run_pipeline
+from joern_spark.synth import synth_docs
+
+# one pipeline run per (session, sf_dir) — several queries() entries view it
+_CPG_CACHE: dict = {}
+
+
+def _cpg(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _CPG_CACHE:
+        documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = synth_docs(documents)
+        _CPG_CACHE[key] = run_pipeline(spark, docs, n_parts=32)
+    return _CPG_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _cpg(spark, "/root/testdata/sf0.001").triples
+
+
+# ---- CPG queries (rows-only: parser semantics are not SQL-expressible) ----
+
+def cpg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cpg(spark, sf_dir).triples.select("subj", "pred", "obj", "doc_id")
+
+
+def _codes(res):
+    return res.nodes.select(
+        F.col("node_id").alias("nid"), F.col("code").alias("ncode"),
+        F.col("name").alias("nname"), F.col("full_name").alias("nfull"),
+    )
+
+
+def cpg_reaching_def(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cpg(spark, sf_dir)
+    c = _codes(res)
+    e = res.edges.filter(F.col("kind") == "REACHING_DEF")
+    return (
+        e.join(c.withColumnRenamed("nid", "src"), "src")
+        .withColumnRenamed("ncode", "src_code")
+        .drop("nname", "nfull")
+        .join(c.withColumnRenamed("nid", "dst"), "dst")
+        .withColumnRenamed("ncode", "dst_code")
+        .select("doc_id", "src_code", "dst_code", F.col("variable").alias("var"))
+    )
+
+
+def cpg_callgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cpg(spark, sf_dir)
+    c = _codes(res)
+    e = res.edges.filter(F.col("kind") == "CALL")
+    return (
+        e.join(c.withColumnRenamed("nid", "src"), "src")
+        .withColumnRenamed("ncode", "call_code")
+        .join(
+            c.select(F.col("nid").alias("dst"), F.col("nfull").alias("callee_full_name")),
+            "dst",
+        )
+        .select("doc_id", "call_code", "callee_full_name")
+    )
+
+
+def cpg_cfg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cpg(spark, sf_dir)
+    c = _codes(res)
+    e = res.edges.filter(F.col("kind") == "CFG")
+    return (
+        e.join(c.withColumnRenamed("nid", "src"), "src")
+        .withColumnRenamed("ncode", "src_code")
+        .drop("nname", "nfull")
+        .join(c.withColumnRenamed("nid", "dst"), "dst")
+        .withColumnRenamed("ncode", "dst_code")
+        .select("doc_id", "src_code", "dst_code")
+    )
+
+
+def cpg_span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence invariant surface: exact input spans, reconstructed."""
+    res = _cpg(spark, sf_dir)
+    return res.spans.select("doc_id", "span_offset", "kind", "text", "media_ref")
+
+
+_CPG_QUERIES = {
+    "cpg_triples": cpg_triples,
+    "cpg_reaching_def": cpg_reaching_def,
+    "cpg_callgraph": cpg_callgraph,
+    "cpg_cfg_edges": cpg_cfg_edges,
+    "cpg_span_provenance": cpg_span_provenance,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(_CPG_QUERIES)
+    out.update(analytics.all_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return analytics.all_oracles()

@@ -1,0 +1,186 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``ann_bruteforce_topk``: exact cosine top-k for a query set — the
+  correctness baseline. Query side is tiny → broadcast; the scan side streams
+  (at 100 TB this is the classic broadcast-nested-loop scoring pass, one
+  map stage, no shuffle except the per-query top-k aggregation).
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets (SimHash
+  for vectors): candidates only within the query's bucket, turning the
+  quadratic scan into an equi-join on bucket id. Planes are deterministic
+  (no RNG at runtime): plane j weight for dim i = sign pattern from a fixed
+  hash formula, identical in the SQL oracle.
+
+Dot products run in identical left-to-right fold order on both engines
+(double precision), so cosine values are bit-identical and rank ties don't
+flip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 8
+TOP_K = 5
+N_PLANES = 4
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for vec_id < N_QUERIES (broadcast query side)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    sim = pairs.withColumn("cos", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).cast("decimal(9,4)").alias("cos_sim"),
+        )
+    )
+
+
+# deterministic pseudo-random hyperplanes: sign(ij-hash) per (plane, dim).
+# Formula chosen to be expressible identically in Spark and DuckDB SQL:
+# weight(j, i) = +1 if ((i*31 + j*17) % 7) % 2 == 0 else -1
+def _plane_weight(j: int, i: int) -> int:
+    return 1 if ((i * 31 + j * 17) % 7) % 2 == 0 else -1
+
+
+def _bucket_expr(vcol):
+    """LSH bucket id = bit pattern of sign(v · plane_j), j in [0, N_PLANES)."""
+    bucket = F.lit(0)
+    for j in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vcol,
+                F.array(*[F.lit(float(_plane_weight(j, i))) for i in range(DIM)]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-k: candidates share the query's bucket."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+    sim = cand.withColumn("cos", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count + total L2 norm (exact decimal total)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+    return (
+        e.select("label", F.round(norm, 6).cast("decimal(18,6)").alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_vecs"), F.sum("norm").cast("decimal(18,6)").alias("total_norm"))
+    )
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_embedding_stats": embedding_stats,
+}
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(generate_series(1, {DIM}), i -> {a}[i] * {b}[i]))"
+
+
+def _plane_sql(vcol: str, j: int) -> str:
+    terms = " + ".join(
+        f"{vcol}[{i + 1}] * ({_plane_weight(j, i)})" for i in range(DIM)
+    )
+    return f"({terms})"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_plane_sql('v', j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
+)
+
+ORACLES = {
+    "ann_bruteforce_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        sim AS (
+            SELECT q.query_id, e.vec_id,
+                   {_dot_sql('e.v', 'q.qv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cos
+            FROM e, q WHERE e.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id AS neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+            FROM sim
+        )
+        SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+               round(cos, 4)::DECIMAL(9,4) AS cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_lsh_topk": f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e0),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < {N_QUERIES}),
+        sim AS (
+            SELECT q.query_id, e.vec_id,
+                   {_dot_sql('e.v', 'q.qv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cos
+            FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+            FROM sim
+        )
+        SELECT query_id, neighbor_id, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_embedding_stats": f"""
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT label, round(sqrt({_dot_sql('v', 'v')}), 6)::DECIMAL(18,6) AS norm FROM e)
+        SELECT label, count(*)::BIGINT AS n_vecs, sum(norm)::DECIMAL(18,6) AS total_norm
+        FROM n GROUP BY label
+    """,
+}

@@ -141,7 +141,15 @@ def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     calls = nodes.filter(
         (F.col("kind") == "CALL") & (F.col("dispatch_type") == "DYNAMIC_DISPATCH")
         & F.col("full_name").contains(".")
-    ).select(
+    )
+    # early exit when the corpus has no dynamic dispatch (C-only inputs) —
+    # reference does the same (DynamicCallLinker.scala:52-55); skips the
+    # closure computation and ~15 join/window stages
+    if calls.limit(1).count() == 0:
+        return nodes.sparkSession.createDataFrame(
+            [], schema="src long, dst long, kind string, variable string, "
+                       "doc_id string, method_id long")
+    calls = calls.select(
         F.col("node_id").alias("call_id"),
         F.col("full_name").alias("c_full"),
         F.col("name").alias("c_name"),

@@ -91,15 +91,15 @@ def run_pipeline(
     decl_stubs = type_decl_stubs(types, nodes0)
     m_stubs, m_stub_edges = method_stubs(nodes0, edges0)
     param_outs, param_edges = parameter_out_pass(nodes0)
+    if not out_dir:
+        # each stub frame feeds both the nodes union and its edge projection —
+        # persist so the generating pass runs once
+        m_stubs = m_stubs.persist()
+        param_outs = param_outs.persist()
 
     nodes = (
         nodes0.unionByName(types).unionByName(decl_stubs)
         .unionByName(m_stubs).unionByName(param_outs)
-    )
-    base_edges = (
-        edges0.unionByName(m_stub_edges).unionByName(param_edges)
-        .unionByName(type_ref_pass(types, nodes0))
-        .unionByName(eval_type_pass(nodes, types))
     )
 
     if out_dir:
@@ -110,7 +110,18 @@ def run_pipeline(
                        "base_nodes", t1)
         write_manifest(out_dir, "base", list(range(n_parts)), complete=True)
     else:
-        nodes = nodes.persist()
+        # eager barrier: the union concatenates 5×n_parts partitions and has
+        # many downstream consumers (linkers, kernels, triples). Without
+        # materializing first, concurrent broadcast jobs race to compute the
+        # cache and re-run the whole parse+stub chain several times over.
+        nodes = nodes.repartition(n_parts).persist()
+        nodes.count()
+
+    base_edges = (
+        edges0.unionByName(m_stub_edges).unionByName(param_edges)
+        .unionByName(type_ref_pass(types, nodes0))
+        .unionByName(eval_type_pass(nodes, types))
+    )
 
     # ---- stage: controlflow -------------------------------------------------
     cfg_edges = cfg_pass(nodes0)
@@ -129,12 +140,17 @@ def run_pipeline(
                        edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
                        "edges_pre_ddg", t2)
     else:
-        edges = edges.persist()
+        edges = edges.repartition(n_parts).persist()
+        edges.count()
 
     # ---- stage: dataflow ------------------------------------------------------
     if with_dataflow:
         rd_edges = reaching_def_pass(nodes, edges)
         edges = edges.unionByName(rd_edges)
+        if not out_dir:
+            # lazy persist: the RD kernel is the most expensive stage; every
+            # downstream consumer (triples + edge queries) must reuse it
+            edges = edges.persist()
 
     misses = link_misses(nodes, call_edges)
 

@@ -1,0 +1,77 @@
+"""Deterministic synthetic code-doc corpus derived from the driver's
+``documents`` table (TESTDATA.md).
+
+The input contract (BASELINE.json input_hint) is an interleaved-doc table
+``(doc_id, spans: array<struct<kind,text,media_ref,offset>>)``. The driver
+ships a generic ``documents(doc_id, text, ...)`` table; this module maps each
+row to a deterministic C program (seeded by the doc_id hash — no wall clock,
+no randomness), split into spans with media spans interleaved on every fifth
+doc. Scale-out is free: the generation is a ``mapInPandas`` over whatever
+partitioning the documents table already has.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .corpus import split_code_spans, with_media
+from .ids import stable_id
+from .schema import DOCS_SCHEMA
+
+
+def code_for_key(k: int, helper: str) -> str:
+    """Deterministic C program: main + helper, hot calls to printf/malloc
+    (the skewed call-linking keys), branches and a loop for CFG/DDG work."""
+    return (
+        f"int main_{k % 1000000:06d}() {{\n"
+        f"  int a = {k % 97};\n"
+        f"  int b = a + {k % 13};\n"
+        f"  char *buf = malloc(b);\n"
+        f"  {helper}(a, b);\n"
+        f"  printf(buf);\n"
+        f"  if (a > b) {{ a = b; }} else {{ b = a; }}\n"
+        f"  while (a > 0) {{ a--; }}\n"
+        f"  return b;\n"
+        f"}}\n"
+        f"void {helper}(int x, int y) {{\n"
+        f"  int s = x + y;\n"
+        f"  printf(s);\n"
+        f"}}"
+    )
+
+
+def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
+    """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
+
+    ``partitions`` defaults to 2× the session's default parallelism — the
+    driver table often arrives as a single small parquet split, which would
+    otherwise serialize the generation (and everything cached from it).
+    """
+    if partitions is None:
+        partitions = 2 * documents.sparkSession.sparkContext.defaultParallelism
+    documents = documents.repartition(partitions, "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype(str):
+                k = stable_id("synth", doc_id) % (1 << 31)
+                helper = f"helper_{k % 1000000:06d}"
+                spans = split_code_spans(code_for_key(k, helper), 3)
+                if k % 5 == 0:
+                    spans = with_media(spans, [f"bin://artifact-{doc_id}"], [1])
+                rows.append(
+                    {
+                        "doc_id": f"synth/{doc_id}",
+                        "spans": [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in spans
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return documents.select("doc_id").mapInPandas(gen, schema=DOCS_SCHEMA)

@@ -1,0 +1,77 @@
+"""reachableBy engine tests.
+
+Mirrors the reference's DataFlowTests
+(c2cpg/src/test/.../dataflow/DataFlowTests.scala): parameter-to-return
+reachability in flow(), interprocedural literal→callee-argument flow in
+test.c (crossing one call boundary, k-limit semantics of Engine.scala:322).
+"""
+
+import pytest
+
+from joern_spark.dataflow import reachable_by, reachable_by_flows
+from joern_spark.query import Cpg
+from tests.conftest import F1, F3
+
+
+@pytest.fixture(scope="session")
+def q(cpg):
+    return Cpg(nodes=cpg.nodes, edges=cpg.edges)
+
+
+def test_param_reaches_return(cpg, q):
+    sources = q.parameter("^p0$").ids()
+    ret_df = q.method_return().to_df()
+    flow_ret = ret_df.filter(ret_df["doc_id"] == F1).select("node_id")
+    hits = reachable_by(cpg.nodes, cpg.edges, flow_ret, sources)
+    assert hits.count() >= 1
+
+
+def test_identifier_chain_reaches_return(cpg, q, g):
+    # a (from a = p0) reaches flow's METHOD_RETURN through b, z, x
+    nodes = g.doc_nodes(F1)
+    a_ids = nodes[(nodes["kind"] == "IDENTIFIER") & (nodes["name"] == "a")]
+    ret = nodes[nodes["kind"] == "METHOD_RETURN"]
+    spark = cpg.nodes.sparkSession
+    sources = spark.createDataFrame([(int(i),) for i in a_ids.index], "node_id long")
+    sinks = spark.createDataFrame([(int(i),) for i in ret.index], "node_id long")
+    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    assert hits.count() >= 1
+
+
+def test_interprocedural_literal_to_callee(cpg, g):
+    # 42 at the main() call site flows into print_number's parameter and on
+    # into printf(x)'s argument — one interprocedural hop (param ← arg)
+    nodes = g.doc_nodes(F3)
+    lit = nodes[(nodes["kind"] == "LITERAL") & (nodes["code"] == "42")]
+    x_arg = nodes[(nodes["kind"] == "IDENTIFIER") & (nodes["name"] == "x")]
+    spark = cpg.nodes.sparkSession
+    sources = spark.createDataFrame([(int(i),) for i in lit.index], "node_id long")
+    sinks = spark.createDataFrame([(int(i),) for i in x_arg.index], "node_id long")
+    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    assert hits.count() >= 1
+
+
+def test_k_limit_blocks_deep_flows(cpg, g):
+    # with max_call_depth=0 the interprocedural hop is forbidden → no hit
+    nodes = g.doc_nodes(F3)
+    lit = nodes[(nodes["kind"] == "LITERAL") & (nodes["code"] == "42")]
+    x_arg = nodes[(nodes["kind"] == "IDENTIFIER") & (nodes["name"] == "x")]
+    spark = cpg.nodes.sparkSession
+    sources = spark.createDataFrame([(int(i),) for i in lit.index], "node_id long")
+    sinks = spark.createDataFrame([(int(i),) for i in x_arg.index], "node_id long")
+    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources, max_call_depth=0)
+    assert hits.count() == 0
+
+
+def test_flows_path_reconstruction(cpg, g):
+    nodes = g.doc_nodes(F1)
+    p0 = nodes[nodes["kind"] == "METHOD_PARAMETER_IN"]
+    ret = nodes[nodes["kind"] == "METHOD_RETURN"]
+    spark = cpg.nodes.sparkSession
+    sources = spark.createDataFrame([(int(i),) for i in p0.index], "node_id long")
+    sinks = spark.createDataFrame([(int(i),) for i in ret.index], "node_id long")
+    paths = reachable_by_flows(cpg.nodes, cpg.edges, sinks, sources)
+    assert len(paths) >= 1
+    # every returned path starts at the source and ends at the sink
+    assert all(p[0] in set(int(i) for i in p0.index) for p in paths)
+    assert all(p[-1] in set(int(i) for i in ret.index) for p in paths)
