@@ -1,0 +1,73 @@
+"""spark-submit entry point for the CPG triple factory.
+
+Usage (north-rule launch shape — BASELINE.json):
+    zip -r /tmp/joern_spark.zip joern_spark
+    spark-submit --master local[8]  --py-files /tmp/joern_spark.zip \\
+        jobs/run_triple_factory.py --sf-dir /root/testdata/sf0.1 [--out-dir D]
+    spark-submit --master local[32] --py-files /tmp/joern_spark.zip ... (4N run)
+
+With --out-dir the run materializes every stage to partitioned parquet with
+per-partition lineage rows and a resume manifest: re-running with the same
+--out-dir skips completed partition ranges (kill the job mid-run to test).
+Prints one JSON metrics line on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--n-parts", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("joern_spark_triple_factory")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pipeline stages legitimately reuse the parse output on several join
+        # sides; the lineage-based ambiguity check misfires on those reuses
+        .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from joern_spark.pipeline import run_pipeline
+    from joern_spark.synth import synth_docs
+
+    documents = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    if args.replicate > 1:
+        documents = (
+            documents.select(F.col("doc_id").cast("string").alias("doc_id"))
+            .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(args.replicate)])))
+            .select(F.concat("doc_id", F.lit("_"), "rep").alias("doc_id"))
+        )
+    docs = synth_docs(documents).persist()
+    n_docs = docs.count()
+
+    t0 = time.time()
+    res = run_pipeline(spark, docs, out_dir=args.out_dir, n_parts=args.n_parts)
+    n_triples = res.triples.count()
+    sec = time.time() - t0
+
+    cores = spark.sparkContext.defaultParallelism
+    print(json.dumps({
+        "cores": cores, "docs": n_docs, "triples": n_triples,
+        "sec": round(sec, 2), "tps": round(n_triples / sec, 1),
+        "resumed": res.stats.get("ast_resumed_parts", 0),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -7,9 +7,9 @@ order-insensitive value-hash comparison passes; floating-point outputs are
 either avoided, computed in identical fold order, or cast to exact decimals.
 """
 
-from . import ann, dedup, relational, text
+from . import ann, dedup, multimodal, relational, text
 
-MODULES = [dedup, text, ann, relational]
+MODULES = [dedup, text, ann, relational, multimodal]
 
 
 def all_queries():

@@ -120,10 +120,33 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_T = 0.35
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (cos >= 0.35).
+
+    The bucket equi-join replaces the quadratic all-pairs scan — the scale
+    path for embedding dedup; recall is governed by N_PLANES (coarser
+    buckets → higher recall, bigger candidate sets).
+    """
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sim = pairs.withColumn(
+        "cos", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    )
+    return sim.filter(F.col("cos") >= NEARDUP_T).select(
+        "vec_a", "vec_b", F.round("cos", 4).cast("decimal(9,4)").alias("cos_sim")
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_embedding_stats": embedding_stats,
+    "ann_neardup_pairs": embedding_neardup_pairs,
 }
 
 
@@ -143,6 +166,18 @@ _BUCKET_SQL = " + ".join(
 )
 
 ORACLES = {
+    "ann_neardup_pairs": f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e0),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round({_dot_sql('va', 'vb')} / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})), 4)::DECIMAL(9,4) AS cos_sim
+        FROM pairs
+        WHERE {_dot_sql('va', 'vb')} / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})) >= {NEARDUP_T}
+    """,
     "ann_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),

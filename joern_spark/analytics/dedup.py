@@ -144,12 +144,68 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: large-star/small-star connected components over the
+    LSH candidate pairs; cluster id = min doc_id; singletons own cluster."""
+    from ..operators.canonicalize import connected_components, with_singletons
+
+    pairs = lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return with_singletons(comp, docs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+N_SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over word unigrams: bit j = sign of Σ_w count(w)·(±1 by
+    md5(w) bit j). One token aggregation, 16 conditional sums — a single
+    map+combine groupBy at any scale. Hash-bit extraction uses the md5 hex
+    string so the DuckDB oracle computes the identical family.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    h = F.md5(F.col("w"))
+    bit_cols = []
+    for j in range(N_SIMHASH_BITS):
+        nib = F.instr(F.lit(_HEX), F.substring(h, j // 4 + 1, 1)) - 1
+        bit = F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+        bit_cols.append(
+            F.sum(F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{j}")
+        )
+    sums = tok.groupBy("doc_id").agg(*bit_cols)
+    sig = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_lsh_pairs": lsh_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_clusters": dedup_clusters,
+    "dedup_simhash": simhash,
 }
+
+_SIMHASH_BIT_SQL = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+)
+_SIMHASH_SUM_SQL = ", ".join(
+    f"sum(CASE WHEN ((strpos('{_HEX}', substr(md5(w), {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1 = 1"
+    f" THEN cnt ELSE -cnt END) AS s{j}"
+    for j in range(N_SIMHASH_BITS)
+)
 
 _MINHASH_SQL = f"""
     SELECT doc_id,
@@ -158,6 +214,16 @@ _MINHASH_SQL = f"""
 """
 
 ORACLES = {
+    "dedup_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, w, count(*)::BIGINT AS cnt FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents
+            ) GROUP BY doc_id, w
+        ),
+        sums AS (SELECT doc_id, {_SIMHASH_SUM_SQL} FROM tok GROUP BY doc_id)
+        SELECT doc_id, ({_SIMHASH_BIT_SQL})::BIGINT AS simhash FROM sums
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                count(*)::BIGINT AS n_docs,
@@ -173,6 +239,29 @@ ORACLES = {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE mh AS ({_MINHASH_SQL}),
+        bands AS (
+            {' UNION ALL '.join(f"SELECT doc_id, h{j} AS band, {j} AS band_id FROM mh" for j in range(N_HASHES))}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+        ),
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM und
+            UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b != r.a
+        )
+        SELECT d.doc_id,
+               coalesce(least(min(r.b), d.doc_id), d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS ({_SHINGLES_SQL}),

@@ -56,10 +56,12 @@ def lineage_rows(df: DataFrame, stage: str, duration_ms: int,
         df.groupBy(F.col(part_col).alias("part_id"))
         .agg(
             F.count("*").alias("rows_out"),
-            F.format_string(
-                "%016x",
-                F.sum(F.xxhash64(*[c for c in df.columns if c != part_col])),
-            ).alias("checksum"),
+            # order-insensitive sum of row hashes; decimal(38) accumulator —
+            # a long sum overflows under ANSI mode
+            F.sum(
+                F.xxhash64(*[c for c in df.columns if c != part_col])
+                .cast("decimal(38,0)")
+            ).cast("string").alias("checksum"),
         )
         .select(
             "part_id", F.lit(stage).alias("stage"),

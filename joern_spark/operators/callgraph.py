@@ -42,8 +42,15 @@ def _method_dim(nodes: DataFrame) -> DataFrame:
     )
 
 
-def static_call_linker(nodes: DataFrame) -> DataFrame:
-    """CALL edges for STATIC_DISPATCH / INLINED calls (broadcast equi-join)."""
+def static_call_linker(nodes: DataFrame, strategy: str = "broadcast",
+                       hot_keys: DataFrame | None = None) -> DataFrame:
+    """CALL edges for STATIC_DISPATCH / INLINED calls.
+
+    strategy='broadcast' (dim fits → map-side join, no shuffle of the skewed
+    fact side) or 'salted' (dim exceeds the broadcast threshold → hot callee
+    names like printf/malloc are replicated across salts so no reducer owns
+    a whole hot key; SURVEY.md §4 skew row).
+    """
     calls = nodes.filter(
         (F.col("kind") == "CALL")
         & F.col("dispatch_type").isin("STATIC_DISPATCH", "INLINED")
@@ -54,7 +61,13 @@ def static_call_linker(nodes: DataFrame) -> DataFrame:
         "doc_id", "method_id",
     )
     methods = _method_dim(nodes)
-    joined = calls.join(F.broadcast(methods), "m_full")
+    if strategy == "salted":
+        from .salting import salted_join
+
+        joined = salted_join(calls, methods, key="m_full",
+                             fact_salt_from="call_id", hot_keys=hot_keys)
+    else:
+        joined = calls.join(F.broadcast(methods), "m_full")
     # reference: signature is an extra conjunct only when the call has one
     joined = joined.filter(
         (F.col("c_sig").isNull()) | (F.col("c_sig") == "")

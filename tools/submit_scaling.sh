@@ -1,0 +1,32 @@
+#!/bin/bash
+# North-rule scaling evidence: the SAME spark-submit --py-files job at N and
+# 4N cores on identical input (local[N] is the sandbox proxy for an
+# N-executor cluster; BASELINE.md). Prints both JSON lines + efficiency.
+set -e
+cd "$(dirname "$0")/.."
+SF_DIR=${SF_DIR:-/root/testdata/sf0.1}
+REP=${REP:-8}
+N=${N:-8}
+ZIP=/tmp/joern_spark_pyfiles.zip
+rm -f $ZIP && zip -qr $ZIP joern_spark
+
+run() {
+  spark-submit --master "local[$1]" --py-files $ZIP \
+    --conf spark.sql.shuffle.partitions=$1 \
+    --conf spark.ui.enabled=false \
+    --driver-memory 16g \
+    jobs/run_triple_factory.py --sf-dir "$SF_DIR" --replicate "$REP" --n-parts "$1" \
+    2>/dev/null | tail -1
+}
+
+A=$(run "$N")
+B=$(run $((N * 4)))
+echo "$A"
+echo "$B"
+python - "$A" "$B" <<'EOF'
+import json, sys
+a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+eff = (b["tps"] / a["tps"]) / 4
+print(json.dumps({"scaling": {"n_cores": a["cores"], "n4_cores": b["cores"],
+      "tps_n": a["tps"], "tps_4n": b["tps"], "efficiency": round(eff, 3)}}))
+EOF
