@@ -57,6 +57,7 @@ def run_pipeline(
     out_dir: str | None = None,
     n_parts: int = 32,
     with_dataflow: bool = True,
+    with_dominators: bool = True,
 ) -> CpgResult:
     stats: dict = {}
 
@@ -125,6 +126,12 @@ def run_pipeline(
 
     # ---- stage: controlflow -------------------------------------------------
     cfg_edges = cfg_pass(nodes0)
+    if with_dominators:
+        if not out_dir:
+            cfg_edges = cfg_edges.persist()  # reused by the dominator kernel
+        from .operators.dominators import dominator_pass
+
+        cfg_edges = cfg_edges.unionByName(dominator_pass(nodes0, cfg_edges))
 
     # ---- stage: callgraph ----------------------------------------------------
     call_edges = static_call_linker(nodes)

@@ -1,0 +1,80 @@
+"""Export sinks, feature vectors, and scan-bundle tests."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from joern_spark.export import method_subgraphs, neo4j_csv
+from joern_spark.scan import run_scan
+from joern_spark.vectors import bag_of_api_symbols, bag_of_nodes
+from tests.conftest import F1, F2, F3
+
+
+def test_dot_export(cpg):
+    rows = method_subgraphs(cpg.nodes, cpg.edges, "CFG", "dot").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["text"])
+    flow_dots = by_doc[F1]
+    assert any("digraph" in t and "->" in t for t in flow_dots)
+    # CFG representation only contains CFG edges (edge labels all CFG)
+    assert all('label="CFG"' in line
+               for t in flow_dots for line in t.splitlines() if "->" in line)
+
+
+def test_json_export_roundtrip(cpg):
+    rows = method_subgraphs(cpg.nodes, cpg.edges, "AST", "json").collect()
+    doc = json.loads(rows[0]["text"])
+    assert set(doc) == {"name", "nodes", "edges"}
+    assert all(e["kind"] == "AST" for e in doc["edges"])
+
+
+def test_graphml_export_wellformed(cpg):
+    import xml.etree.ElementTree as ET
+
+    rows = method_subgraphs(cpg.nodes, cpg.edges, "ALL", "graphml").collect()
+    for r in rows[:3]:
+        ET.fromstring(r["text"])  # raises on malformed XML
+
+
+def test_neo4j_csv_shape(cpg):
+    n, e = neo4j_csv(cpg.nodes, cpg.edges)
+    assert n.columns == [":ID", ":LABEL", "name", "code"]
+    assert e.columns == [":START_ID", ":END_ID", ":TYPE", "variable"]
+    assert n.count() > 0 and e.count() > 0
+
+
+def test_bag_of_nodes(cpg):
+    vec = {r["doc_id"]: (list(r["indices"]), list(r["values"]))
+           for r in bag_of_nodes(cpg.nodes, dim=64).collect()}
+    idx, vals = vec[F1]
+    assert len(idx) == len(vals)
+    assert sorted(idx) == idx  # sorted sparse indices
+    assert sum(vals) == 32  # every F1 node counted once (31 parsed + paramOut)
+
+
+def test_bag_of_api_symbols(cpg):
+    vec = bag_of_api_symbols(cpg.nodes, dim=64)
+    f3 = vec.filter(F.col("doc_id") == F3).collect()
+    assert len(f3) == 1
+    assert sum(f3[0]["values"]) == 2  # print_number(42) + printf(x)
+
+
+def test_scan_bundle(cpg):
+    findings = run_scan(cpg.nodes, cpg.edges).persist()
+    names = {r["name"] for r in findings.select("name").distinct().collect()}
+    # free_list frees its allocation; no malloc in fixtures → no leak finding
+    by_name = {
+        n: [r for r in findings.collect() if r["name"] == n] for n in names
+    }
+    # printf(x) and printf(buf)-style sinks exist; literals flow in F3
+    assert "literal-to-format-sink" in names
+    # MethodTest.staticMethod etc. are never called
+    assert "uncalled-internal-method" in names
+    assert all(r["severity"] > 0 for r in findings.collect())
+
+
+def test_scan_finding_rows_resolve(cpg):
+    findings = run_scan(cpg.nodes, cpg.edges)
+    assert findings.filter(F.col("doc_id").isNull()).count() == 0
