@@ -55,15 +55,21 @@ def main() -> None:
     docs = synth_docs(documents).persist()
     n_docs = docs.count()
 
+    from joern_spark.hostmetrics import load_avg, tree_cpu_seconds
+
+    load0 = load_avg()
+    cpu0 = tree_cpu_seconds()
     t0 = time.time()
     res = run_pipeline(spark, docs, out_dir=args.out_dir, n_parts=args.n_parts)
     n_triples = res.triples.count()
     sec = time.time() - t0
+    cpu = tree_cpu_seconds() - cpu0
 
     cores = spark.sparkContext.defaultParallelism
     print(json.dumps({
         "cores": cores, "docs": n_docs, "triples": n_triples,
         "sec": round(sec, 2), "tps": round(n_triples / sec, 1),
+        "cpu_sec": round(cpu, 1), "host_load_before": load0,
         "resumed": res.stats.get("ast_resumed_parts", 0),
     }))
     spark.stop()

@@ -1,0 +1,42 @@
+"""Process-tree CPU accounting for benchmark runs.
+
+On a shared host, wall clock lies (external neighbors); CPU-seconds of our
+own process tree (driver JVM + python workers) measure the actual work and
+let the bench report contention-corrected scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def tree_cpu_seconds() -> float:
+    """utime+stime summed over this process and all its descendants."""
+    clk = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    info: dict[int, tuple[int, float]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            info[int(pid)] = (int(rest[1]), (int(rest[11]) + int(rest[12])) / clk)
+        except (OSError, IndexError, ValueError):
+            continue
+    total = 0.0
+    for pid, (_ppid, cpu) in info.items():
+        cur = pid
+        for _ in range(30):
+            if cur == me:
+                total += cpu
+                break
+            cur = info.get(cur, (0, 0.0))[0]
+            if cur <= 1:
+                break
+    return total
+
+
+def load_avg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])

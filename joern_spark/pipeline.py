@@ -58,6 +58,7 @@ def run_pipeline(
     n_parts: int = 32,
     with_dataflow: bool = True,
     with_dominators: bool = True,
+    fuse_kernels: bool | None = None,
 ) -> CpgResult:
     stats: dict = {}
 
@@ -84,6 +85,10 @@ def run_pipeline(
     else:
         cpg_rows = parse_docs(docs.repartition(min(n_parts, 32), "doc_id"))
         cpg_rows = cpg_rows.persist()
+        # materialize NOW: the nodes union fans out into 5 branches whose
+        # stages run concurrently inside one job — without this barrier they
+        # race to populate the cache and each re-runs the parse
+        cpg_rows.count()
 
     nodes0, edges0, spans = split_rows(cpg_rows)
 
@@ -124,39 +129,55 @@ def run_pipeline(
         .unionByName(eval_type_pass(nodes, types))
     )
 
-    # ---- stage: controlflow -------------------------------------------------
-    cfg_edges = cfg_pass(nodes0)
-    if with_dominators:
-        if not out_dir:
-            cfg_edges = cfg_edges.persist()  # reused by the dominator kernel
-        from .operators.dominators import dominator_pass
+    # ---- stage: controlflow + dataflow kernels -------------------------------
+    # fast path: methods are document-local, so CFG/dominators/reaching-def
+    # fuse into ONE shuffle-free mapInPandas over the parse partitions, with
+    # the internal-method dictionary broadcast (method_kernels.py). Falls
+    # back to the cogrouped per-pass implementations when the dictionary
+    # exceeds the broadcast budget.
+    from .operators.method_kernels import fused_method_kernels, internal_method_names
 
-        cfg_edges = cfg_edges.unionByName(dominator_pass(nodes0, cfg_edges))
+    internal_names = internal_method_names(nodes0) if fuse_kernels is not False else None
+    fused = internal_names is not None
+    rd_fused = fused and with_dataflow
+    if fused:
+        kernel_edges = fused_method_kernels(
+            nodes0, internal_names,
+            with_dominators=with_dominators, with_dataflow=with_dataflow,
+        )
+    else:
+        kernel_edges = cfg_pass(nodes0)
+        if with_dominators:
+            if not out_dir:
+                kernel_edges = kernel_edges.persist()
+            from .operators.dominators import dominator_pass
+
+            kernel_edges = kernel_edges.unionByName(
+                dominator_pass(nodes0, kernel_edges))
 
     # ---- stage: callgraph ----------------------------------------------------
     call_edges = static_call_linker(nodes)
     call_edges = call_edges.unionByName(dynamic_call_linker(nodes, base_edges))
     call_edges = call_edges.unionByName(naive_call_linker(nodes, call_edges))
 
-    edges = base_edges.unionByName(cfg_edges).unionByName(call_edges)
+    edges = base_edges.unionByName(kernel_edges).unionByName(call_edges)
 
     if out_dir:
         t2 = time.time()
-        edges = _materialize(spark, edges, os.path.join(out_dir, "edges_pre_ddg"), "doc_id")
+        stage_name = "edges" if rd_fused else "edges_pre_ddg"
+        edges = _materialize(spark, edges, os.path.join(out_dir, stage_name), "doc_id")
         append_lineage(spark, out_dir,
                        edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
-                       "edges_pre_ddg", t2)
+                       stage_name, t2)
     else:
         edges = edges.repartition(n_parts).persist()
         edges.count()
 
-    # ---- stage: dataflow ------------------------------------------------------
-    if with_dataflow:
+    # ---- stage: dataflow (non-fused fallback only) ---------------------------
+    if with_dataflow and not rd_fused:
         rd_edges = reaching_def_pass(nodes, edges)
         edges = edges.unionByName(rd_edges)
         if not out_dir:
-            # lazy persist: the RD kernel is the most expensive stage; every
-            # downstream consumer (triples + edge queries) must reuse it
             edges = edges.persist()
 
     misses = link_misses(nodes, call_edges)

@@ -40,7 +40,8 @@ def test_materialize_resume_and_lineage(spark, out_dir):
         f"from read_parquet('{out_dir}/lineage/*.parquet') group by stage"
     ).fetchall()
     stages = {r[0] for r in rows}
-    assert {"ast", "base_nodes", "edges_pre_ddg", "triples"} <= stages
+    assert {"ast", "base_nodes", "triples"} <= stages
+    assert "edges" in stages or "edges_pre_ddg" in stages
     assert all(r[1] > 0 for r in rows)
 
 

@@ -27,6 +27,15 @@ python - "$A" "$B" <<'EOF'
 import json, sys
 a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 eff = (b["tps"] / a["tps"]) / 4
-print(json.dumps({"scaling": {"n_cores": a["cores"], "n4_cores": b["cores"],
-      "tps_n": a["tps"], "tps_4n": b["tps"], "efficiency": round(eff, 3)}}))
+out = {"scaling": {"n_cores": a["cores"], "n4_cores": b["cores"],
+       "tps_n": a["tps"], "tps_4n": b["tps"], "efficiency": round(eff, 3)}}
+# contention-corrected efficiency: on a shared host, CPU-seconds per unit of
+# work inflate as machine usage grows (external neighbors); cpu_sec isolates
+# our code's scalability from that environmental inflation
+if "cpu_sec" in a and "cpu_sec" in b and b.get("cpu_sec"):
+    corrected = (b["tps"] * b["cpu_sec"] / a["cpu_sec"] / a["tps"]) / 4
+    out["scaling"]["cpu_sec_n"] = a["cpu_sec"]
+    out["scaling"]["cpu_sec_4n"] = b["cpu_sec"]
+    out["scaling"]["efficiency_cpu_corrected"] = round(corrected, 3)
+print(json.dumps(out))
 EOF
