@@ -7,9 +7,9 @@ order-insensitive value-hash comparison passes; floating-point outputs are
 either avoided, computed in identical fold order, or cast to exact decimals.
 """
 
-from . import ann, dedup, multimodal, relational, text
+from . import ann, dedup, multimodal, relational, streaming_q, text
 
-MODULES = [dedup, text, ann, relational, multimodal]
+MODULES = [dedup, text, ann, relational, multimodal, streaming_q]
 
 
 def all_queries():

@@ -10,10 +10,40 @@ from __future__ import annotations
 import os
 
 
+def _root_pid() -> int:
+    """Topmost java/python ancestor (under spark-submit the JVM is our
+    parent, and python workers are its children, not ours)."""
+    def comm(pid: int) -> str:
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    def ppid(pid: int) -> int:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                return int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            return 0
+
+    root = os.getpid()
+    cur = root
+    for _ in range(20):
+        parent = ppid(cur)
+        if parent <= 1:
+            break
+        if comm(parent).startswith(("java", "python")):
+            root = parent
+        cur = parent
+    return root
+
+
 def tree_cpu_seconds() -> float:
-    """utime+stime summed over this process and all its descendants."""
+    """utime+stime summed over the job's process tree (JVM + workers +
+    driver), rooted at the topmost java/python ancestor."""
     clk = os.sysconf("SC_CLK_TCK")
-    me = os.getpid()
+    me = _root_pid()
     info: dict[int, tuple[int, float]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():

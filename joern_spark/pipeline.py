@@ -170,7 +170,9 @@ def run_pipeline(
                        edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
                        stage_name, t2)
     else:
-        edges = edges.repartition(n_parts).persist()
+        # no repartition: compacting ~9M wide edge rows costs a full shuffle,
+        # while the extra union partitions only cost task-scheduling overhead
+        edges = edges.persist()
         edges.count()
 
     # ---- stage: dataflow (non-fused fallback only) ---------------------------
