@@ -92,6 +92,41 @@ def test_short_circuit_and(g):
     assert "x > 0 && x < 100" in succ  # short-circuit edge
 
 
+def _kernel_cfg(src: str):
+    """Kernel-level succOf helper (no Spark) for extra control-flow cases."""
+    from joern_spark.corpus import split_code_spans
+    from joern_spark.frontend.lowering import lower_doc
+    from joern_spark.operators.cfg_pass import cfg_edges_for_method
+
+    nodes, _, _ = lower_doc("k", split_code_spans(src, 2))
+    code = {n["node_id"]: (n["code"] or n["kind"]) for n in nodes}
+    mid = [n["node_id"] for n in nodes if n["kind"] == "METHOD"][0]
+    rows = [n for n in nodes if n.get("method_id") == mid]
+    return {(code[s], code[d]) for s, d in cfg_edges_for_method(rows)}
+
+
+def test_goto_label_resolution():
+    """withResolvedJumpToLabel (Cfg.scala:77-97): goto jumps to its label."""
+    edges = _kernel_cfg(
+        "int jumpy(int x) {\n  if (x > 0) goto done;\n  x = x + 1;\n"
+        "done:\n  return x;\n}"
+    )
+    assert ("goto done;", "done:") in edges
+    assert ("done:", "x") in edges
+    assert ("x = x + 1", "done:") in edges  # fallthrough into the label
+
+
+def test_continue_targets_loop_update():
+    """ContinueEdges land on the for-update expression (CfgCreator.scala:364-394)."""
+    edges = _kernel_cfg(
+        "int skippy(int n) {\n  int s = 0;\n"
+        "  for (int i = 0; i < n; i++) {\n    if (i == 3) continue;\n"
+        "    s = s + i;\n  }\n  return s;\n}"
+    )
+    assert ("continue;", "i") in edges  # i of i++
+    assert ("i == 3", "continue;") in edges
+
+
 def test_cfg_connectivity_every_method(g):
     """Every CFG node is reachable from its METHOD entry (no orphan islands)."""
     for doc in [F1, F2, F4]:
