@@ -296,6 +296,10 @@ class CParser:
             self.eat()
             return [AstNode(kind="JUMP_TARGET", name=t.text, code=f"{t.text}:",
                             pos=t.pos, line=t.line)]
+        # non-keyword type declarations (Java class types: `Point q = ...`) —
+        # at_type is keyword-only for C, so this branch never fires there
+        if self.at_type():
+            return self.parse_declaration()
         # expression statement
         expr = self.parse_expr()
         self.accept(";")

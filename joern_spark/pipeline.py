@@ -123,10 +123,13 @@ def run_pipeline(
         nodes = nodes.repartition(n_parts).persist()
         nodes.count()
 
+    from .operators.type_recovery import field_access_linker
+
     base_edges = (
         edges0.unionByName(m_stub_edges).unionByName(param_edges)
         .unionByName(type_ref_pass(types, nodes0))
         .unionByName(eval_type_pass(nodes, types))
+        .unionByName(field_access_linker(nodes0, edges0))
     )
 
     # ---- stage: controlflow + dataflow kernels -------------------------------
