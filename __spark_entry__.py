@@ -99,12 +99,55 @@ def cpg_span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.spans.select("doc_id", "span_offset", "kind", "text", "media_ref")
 
 
+def cpg_scan_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packaged query bundle → findings (joern-scan analog)."""
+    from joern_spark.scan import run_scan
+
+    res = _cpg(spark, sf_dir)
+    return run_scan(res.nodes, res.edges).select(
+        "name", "doc_id", F.col("code").alias("finding_code"))
+
+
+def cpg_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-API-symbols feature vectors (JoernVectors analog)."""
+    from joern_spark.vectors import bag_of_api_symbols
+
+    res = _cpg(spark, sf_dir)
+    return bag_of_api_symbols(res.nodes, dim=256)
+
+
+def cpg_canonical_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star alias canonicalization over the symbol graph."""
+    from joern_spark.operators.canonicalize import canonical_symbols
+
+    res = _cpg(spark, sf_dir)
+    return canonical_symbols(res.nodes, res.edges)
+
+
+def cpg_dominators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _cpg(spark, sf_dir)
+    c = _codes(res)
+    e = res.edges.filter(F.col("kind").isin("DOMINATE", "POST_DOMINATE", "CDG"))
+    return (
+        e.join(c.withColumnRenamed("nid", "src"), "src")
+        .withColumnRenamed("ncode", "src_code")
+        .drop("nname", "nfull")
+        .join(c.withColumnRenamed("nid", "dst"), "dst")
+        .withColumnRenamed("ncode", "dst_code")
+        .select("doc_id", F.col("kind").alias("edge_kind"), "src_code", "dst_code")
+    )
+
+
 _CPG_QUERIES = {
     "cpg_triples": cpg_triples,
     "cpg_reaching_def": cpg_reaching_def,
     "cpg_callgraph": cpg_callgraph,
     "cpg_cfg_edges": cpg_cfg_edges,
+    "cpg_dominators": cpg_dominators,
     "cpg_span_provenance": cpg_span_provenance,
+    "cpg_scan_findings": cpg_scan_findings,
+    "cpg_vectors": cpg_vectors,
+    "cpg_canonical_symbols": cpg_canonical_symbols,
 }
 
 
