@@ -75,10 +75,22 @@ class JavaParser(CParser):
     # --- entry ---------------------------------------------------------------
     def parse_translation_unit(self) -> list[AstNode]:
         out: list[AstNode] = []
+        package = ""
+        pkg_pos, pkg_line = 0, 1
         while self.peek() is not None:
             start = self.i
             t = self.peek()
-            if t.text in ("import", "package"):
+            if t.text == "package":
+                pkg_pos, pkg_line = t.pos, t.line
+                self.eat()
+                parts = []
+                while self.peek() is not None and not self.at(";"):
+                    tok = self.eat()
+                    if tok.kind == "ident":
+                        parts.append(tok.text)
+                self.accept(";")
+                package = ".".join(parts)
+            elif t.text == "import":
                 while self.peek() is not None and not self.at(";"):
                     self.eat()
                 self.accept(";")
@@ -90,6 +102,15 @@ class JavaParser(CParser):
                 self.eat()
             if self.i == start:
                 self.eat()
+        if package and out:
+            # reference: types sit under a NAMESPACE_BLOCK per file
+            # (NamespaceCreator.scala groups the blocks by name later)
+            block = AstNode(kind="NAMESPACE_BLOCK", name=package,
+                            full_name=package, code=f"package {package}",
+                            pos=pkg_pos, line=pkg_line)
+            for k, n in enumerate(out):
+                block.add(n, order=k + 1)
+            return [block]
         return out
 
     def parse_class(self) -> AstNode | None:

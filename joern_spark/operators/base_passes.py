@@ -63,6 +63,38 @@ def type_nodes(nodes: DataFrame) -> DataFrame:
     return names.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
 
 
+def namespace_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """NamespaceCreator (x2cpg/.../passes/base/NamespaceCreator.scala:17-25):
+    group NAMESPACE_BLOCKs by name → one NAMESPACE node + REF edges.
+    Textbook hash-aggregate + deterministic stub ids (no join back needed)."""
+    blocks = nodes.filter(F.col("kind") == "NAMESPACE_BLOCK").select(
+        "node_id", "name", "doc_id"
+    )
+    names = blocks.select("name").distinct()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _node_template(node_id=stub_id("NAMESPACE", n), kind="NAMESPACE",
+                               name=n, full_name=n, code=n)
+                for n in pdf["name"]
+            ]
+            yield rows_to_pdf(rows, NODE_COLUMNS)
+
+    ns_nodes = names.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
+                             F.col("node_id").alias("ns_id"))
+    ref_edges = (
+        blocks.join(F.broadcast(ns_dim), blocks["name"] == F.col("ns_name"))
+        .select(
+            F.col("node_id").alias("src"), F.col("ns_id").alias("dst"),
+            F.lit("REF").alias("kind"), F.lit("").alias("variable"),
+            "doc_id", F.lit(None).cast("long").alias("method_id"),
+        )
+    )
+    return ns_nodes, ref_edges
+
+
 def type_decl_stubs(types: DataFrame, nodes: DataFrame) -> DataFrame:
     """TypeDeclStubCreator: TYPE with no TYPE_DECL → external stub (anti-join)."""
     decls = nodes.filter(F.col("kind") == "TYPE_DECL").select(

@@ -34,9 +34,9 @@ def _declared(nodes: DataFrame) -> DataFrame:
             F.col("kind").isin("LOCAL", "METHOD_PARAMETER_IN")
             & F.col("type_full_name").isNotNull() & (F.col("type_full_name") != "")
         )
-        .select("method_id", F.col("name").alias("v_name"),
+        .select(F.col("method_id").alias("v_mid"), F.col("name").alias("v_name"),
                 F.col("type_full_name").alias("v_type"))
-        .dropDuplicates(["method_id", "v_name"])
+        .dropDuplicates(["v_mid", "v_name"])
     )
 
 
@@ -51,7 +51,7 @@ def type_recovery_pass(nodes: DataFrame, iterations: int = ITERATIONS) -> DataFr
     rec = (
         idents.join(
             decl,
-            (idents["method_id"] == decl["method_id"]) & (idents["name"] == decl["v_name"]),
+            (idents["method_id"] == decl["v_mid"]) & (idents["name"] == decl["v_name"]),
         )
         .select(idents["node_id"], F.col("v_type").alias("recovered_type"))
     )

@@ -25,6 +25,7 @@ from .operators.ast_pass import parse_docs, split_rows
 from .operators.base_passes import (
     eval_type_pass,
     method_stubs,
+    namespace_pass,
     parameter_out_pass,
     type_decl_stubs,
     type_nodes,
@@ -97,6 +98,7 @@ def run_pipeline(
     decl_stubs = type_decl_stubs(types, nodes0)
     m_stubs, m_stub_edges = method_stubs(nodes0, edges0)
     param_outs, param_edges = parameter_out_pass(nodes0)
+    ns_nodes, ns_edges = namespace_pass(nodes0)
     if not out_dir:
         # each stub frame feeds both the nodes union and its edge projection —
         # persist so the generating pass runs once
@@ -105,7 +107,7 @@ def run_pipeline(
 
     nodes = (
         nodes0.unionByName(types).unionByName(decl_stubs)
-        .unionByName(m_stubs).unionByName(param_outs)
+        .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
     )
 
     if out_dir:
@@ -130,6 +132,7 @@ def run_pipeline(
         .unionByName(type_ref_pass(types, nodes0))
         .unionByName(eval_type_pass(nodes, types))
         .unionByName(field_access_linker(nodes0, edges0))
+        .unionByName(ns_edges)
     )
 
     # ---- stage: controlflow + dataflow kernels -------------------------------

@@ -10,7 +10,7 @@ import pytest
 
 from joern_spark.dataflow import reachable_by, reachable_by_flows
 from joern_spark.query import Cpg
-from tests.conftest import F1, F3
+from tests.conftest import F1, F2, F3
 
 
 @pytest.fixture(scope="session")
@@ -61,6 +61,26 @@ def test_k_limit_blocks_deep_flows(cpg, g):
     sinks = spark.createDataFrame([(int(i),) for i in x_arg.index], "node_id long")
     hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources, max_call_depth=0)
     assert hits.count() == 0
+
+
+def test_reference_flow_goldens_recall(cpg, q):
+    """DataFlowTests goldens (DataFlowTests.scala:40-60): >= 6 identifier
+    flows into free(p), >= 8 identifier flows into flow()'s METHOD_RETURN.
+    Our engine is recall-oriented: it finds every reference-golden flow
+    (plus extra paths from entry-edge sources the reference prunes)."""
+    from pyspark.sql import functions as F
+
+    from joern_spark.dataflow import reachable_by_flows
+
+    sinks = q.call("^free$").argument().ids()
+    sources = q.identifier().to_df().filter(F.col("doc_id") == F2).select("node_id")
+    flows = reachable_by_flows(cpg.nodes, cpg.edges, sinks, sources)
+    assert len(flows) >= 6
+
+    ret = q.method_return().to_df().filter(F.col("doc_id") == F1).select("node_id")
+    idents = q.identifier().to_df().filter(F.col("doc_id") == F1).select("node_id")
+    flows2 = reachable_by_flows(cpg.nodes, cpg.edges, ret, idents)
+    assert len(flows2) >= 8
 
 
 def test_flows_path_reconstruction(cpg, g):

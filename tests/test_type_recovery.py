@@ -72,6 +72,34 @@ def test_alloc_propagation_links_q(graph):
     assert ("q.y", "y") in pairs
 
 
+def test_no_cross_method_type_leak(spark):
+    """Same variable name, different declared types in different methods —
+    each identifier must get ITS method's type (regression: a degenerate
+    self-join on method_id would cross-link by name only)."""
+    src = ("class M {\n"
+           "  int f() { Point v = new Point(); return v.x; }\n"
+           "  int g() { Other v = new Other(); return v.x; }\n"
+           "}\nclass Point { int x; }\nclass Other { int x; }")
+    docs = docs_df(spark, [{"doc_id": "tr/Leak.java", "spans": split_code_spans(src, 2)}])
+    rows = parse_docs(docs).persist()
+    nodes, edges, _ = split_rows(rows)
+    rec = type_recovery_pass(nodes)
+    typed = (
+        nodes.filter((F.col("kind") == "IDENTIFIER") & (F.col("name") == "v"))
+        .join(rec, "node_id")
+        .join(
+            nodes.filter(F.col("kind") == "METHOD")
+            .select(F.col("node_id").alias("method_id"), F.col("name").alias("m_name")),
+            "method_id",
+        )
+    )
+    by_method = {}
+    for r in typed.collect():
+        by_method.setdefault(r["m_name"], set()).add(r["recovered_type"])
+    assert by_method["f"] == {"Point"}
+    assert by_method["g"] == {"Other"}
+
+
 def test_no_cross_class_false_links(graph):
     """Members only link within the receiver's class (no name-only match)."""
     nodes, edges = graph
