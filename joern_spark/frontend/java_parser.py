@@ -91,9 +91,20 @@ class JavaParser(CParser):
                 self.accept(";")
                 package = ".".join(parts)
             elif t.text == "import":
+                self.eat()
+                parts = []
                 while self.peek() is not None and not self.at(";"):
-                    self.eat()
+                    tok = self.eat()
+                    if tok.kind == "ident" or tok.text == "*":
+                        parts.append(tok.text)
                 self.accept(";")
+                imported = ".".join(parts)
+                # XImportsPass analog: IMPORT node per import statement
+                out.append(AstNode(
+                    kind="IMPORT", name=parts[-1] if parts else "",
+                    full_name=imported, code=f"import {imported}",
+                    pos=t.pos, line=t.line,
+                ))
             elif t.text in _MODIFIERS or t.text in ("class", "interface"):
                 node = self.parse_class()
                 if node is not None:

@@ -31,7 +31,7 @@ _LOGICAL_OPS = {"<operator>.logicalAnd", "<operator>.logicalOr", "<operator>.con
 _EMPTY_KINDS = {
     "METHOD", "METHOD_PARAMETER_IN", "METHOD_PARAMETER_OUT", "MODIFIER",
     "LOCAL", "TYPE_DECL", "MEMBER", "FILE", "NAMESPACE", "NAMESPACE_BLOCK",
-    "JUMP_LABEL", "COMMENT",
+    "JUMP_LABEL", "COMMENT", "IMPORT",
 }
 _SINGLE_KINDS = {"METHOD_REF", "TYPE_REF", "METHOD_RETURN"}
 _LEAFY_KINDS = {"CALL", "FIELD_IDENTIFIER", "IDENTIFIER", "LITERAL", "UNKNOWN"}

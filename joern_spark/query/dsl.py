@@ -274,6 +274,33 @@ class CpgQuery:
     def ddg_out(self) -> "CpgQuery":
         return self._hop("REACHING_DEF", forward=True)
 
+    # ---- tagging (NodeSteps.tag / newTagNode, NodeSteps.scala:104-126) ---
+    def tag(self, name: str) -> DataFrame:
+        """Append-only tag rows for the frontier — the TAG/TAG_NODE_PAIR
+        analog (a ``tags`` side table instead of graph mutation)."""
+        return self.df.select(
+            F.lit(name).alias("tag_name"), "node_id", "doc_id",
+        )
+
+    # ---- provenance (NodeSteps.location/.dump, NodeSteps.scala:26-85) ----
+    def location(self, spans: DataFrame) -> DataFrame:
+        """Source recovery: join each frontier node back to its span text
+        via (doc_id, span_offset)."""
+        return (
+            self.df.select("node_id", "code", "line", "doc_id", "span_offset")
+            .join(
+                spans.select(
+                    F.col("doc_id").alias("s_doc"),
+                    F.col("span_offset").alias("s_off"),
+                    F.col("text").alias("span_text"),
+                ),
+                (F.col("doc_id") == F.col("s_doc"))
+                & (F.col("span_offset") == F.col("s_off")),
+                "left",
+            )
+            .select("node_id", "doc_id", "line", "code", "span_text")
+        )
+
     # ---- bounded transitive closure -------------------------------------
     def _closure(self, edge_kind: str, include_self: bool,
                  forward: bool = True) -> "CpgQuery":

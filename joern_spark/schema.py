@@ -17,6 +17,7 @@ NODE_KINDS = [
     "METHOD_RETURN", "METHOD_REF", "BLOCK", "CALL", "IDENTIFIER",
     "FIELD_IDENTIFIER", "LITERAL", "LOCAL", "RETURN", "CONTROL_STRUCTURE",
     "JUMP_TARGET", "JUMP_LABEL", "MODIFIER", "COMMENT", "UNKNOWN", "TYPE_REF",
+    "IMPORT",
 ]
 
 # Edge kinds in scope (reference: Ast.scala:25-52 + pass outputs, SURVEY.md §1.1)

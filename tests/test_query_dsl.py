@@ -113,6 +113,20 @@ def test_ddg_in(q):
     assert "x" in _codes(srcs)
 
 
+def test_tag_step(q):
+    tags = q.call("^printf$").tag("risky-sink")
+    rows = tags.collect()
+    assert len(rows) >= 1
+    assert all(r["tag_name"] == "risky-sink" for r in rows)
+
+
+def test_location_step(q, cpg):
+    loc = q.call().code_exact("print_number(42)").location(cpg.spans)
+    rows = loc.collect()
+    assert len(rows) == 1
+    assert "print_number(42)" in rows[0]["span_text"]
+
+
 def test_repeat_combinator(q):
     two_up = q.all().code_exact("b + c").repeat(lambda s: s.ast_parent(), times=2)
     assert "BLOCK" in {r["kind"] for r in two_up.l()}
