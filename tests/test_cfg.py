@@ -127,6 +127,44 @@ def test_continue_targets_loop_update():
     assert ("i == 3", "continue;") in edges
 
 
+def test_switch_fallthrough():
+    """Case without break falls through to the next case's statements
+    (CfgCreator.scala:591-616 case-edge semantics)."""
+    edges = _kernel_cfg(
+        "int f(int x) { switch(x) { case 1: x=2; case 2: x=3; break; } return x; }"
+    )
+    assert ("x=2", "case 2:") in edges  # fallthrough, NOT straight to exit
+    assert ("x=3", "break;") in edges
+    # scrutinee fans out to every case label
+    assert ("x", "case 1:") in edges and ("x", "case 2:") in edges
+
+
+def test_infinite_for_loop():
+    """for(;;): no condition — entry flows straight into the body; only
+    break exits (CfgCreator.scala:364-394 with empty condition)."""
+    edges = _kernel_cfg("int f() { for(;;) { break; } return 0; }")
+    assert ("int f()", "break;") in edges
+    assert ("break;", "0") in edges  # break exits to the statement after
+
+
+def test_operator_lowering_extras():
+    """sizeof / indexAccess / addressOf / indirection / cast lowering
+    (AstForExpressionsCreator.scala:13-58 + operatorextension taxonomy)."""
+    from joern_spark.corpus import split_code_spans
+    from joern_spark.frontend.lowering import lower_doc
+
+    cases = {
+        "int f() { int x; return sizeof(x); }": "<operator>.sizeOf",
+        "int f(int *a, int i) { return a[i]; }": "<operator>.indexAccess",
+        "int f() { int x; int *p = &x; return *p; }": "<operator>.addressOf",
+        "int f(double d) { return (int) d; }": "<operator>.cast",
+    }
+    for src, op in cases.items():
+        nodes, _, _ = lower_doc("k.c", split_code_spans(src, 1))
+        ops = {n["name"] for n in nodes if n["kind"] == "CALL"}
+        assert op in ops, f"{op} not lowered in {src!r}: {ops}"
+
+
 def test_cfg_connectivity_every_method(g):
     """Every CFG node is reachable from its METHOD entry (no orphan islands)."""
     for doc in [F1, F2, F4]:
