@@ -136,19 +136,57 @@ class CParser:
     def parse_struct_decl(self) -> AstNode:
         start = self.peek().pos
         line = self.peek().line
-        self.eat()  # struct/union/enum
+        keyword = self.eat().text  # struct/union/enum
         name = self.eat().text if self.at_kind("ident") else "<anonymous>"
-        node = AstNode(kind="TYPE_DECL", name=name, full_name=name, line=line, pos=start)
-        depth = 0
-        while self.peek() is not None:
-            t = self.eat()
-            if t.text == "{":
-                depth += 1
-            elif t.text == "}":
-                depth -= 1
-                if depth == 0:
-                    self.accept(";")
-                    break
+        # full_name uses the declaration-site spelling ("struct node") so the
+        # dereferenced type_full_name of variables keys straight into it
+        # (FieldAccessLinker / TYPE linking)
+        node = AstNode(kind="TYPE_DECL", name=name,
+                       full_name=f"{keyword} {name}", line=line, pos=start)
+        self.expect("{")
+        order = 0
+        if keyword == "enum":
+            # enum constants: MEMBERs with int type
+            while self.peek() is not None and not self.at("}"):
+                t = self.eat()
+                if t.kind == "ident":
+                    order += 1
+                    node.add(AstNode(kind="MEMBER", name=t.text, code=t.text,
+                                     type_full_name="int", pos=t.pos,
+                                     line=t.line), order=order)
+                # skip '= value' initializers and commas
+        else:
+            while self.peek() is not None and not self.at("}"):
+                before = self.i
+                mt = self.peek()
+                mtype = self.parse_type()
+                if not mtype and self.at_kind("ident"):
+                    mtype = self.eat().text
+                while self.at("*"):
+                    self.eat()
+                    mtype += "*"
+                while self.at_kind("ident"):
+                    mname = self.eat().text
+                    suffix = ""
+                    while self.at("["):
+                        while self.peek() is not None and not self.at("]"):
+                            self.eat()
+                        self.accept("]")
+                        suffix += "[]"
+                    order += 1
+                    node.add(AstNode(kind="MEMBER", name=mname,
+                                     code=f"{mtype} {mname}".strip(),
+                                     type_full_name=(mtype + suffix) or "ANY",
+                                     pos=mt.pos, line=mt.line), order=order)
+                    if not self.accept(","):
+                        break
+                    while self.at("*"):
+                        self.eat()
+                self.accept(";")
+                if self.i == before:  # no progress: skip one token
+                    self.eat()
+        self.expect("}")
+        self.accept(";")
         node.code = self.slice(start)
         return node
 

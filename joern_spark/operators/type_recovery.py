@@ -131,11 +131,13 @@ def field_access_linker(nodes: DataFrame, edges: DataFrame,
     receivers = nodes.filter(
         (F.col("kind") == "IDENTIFIER") & (F.col("argument_index") == 1)
     ).select(F.col("node_id").alias("arg_id"))
+    # dereference normalization on the key (Dereference.scala:22-29):
+    # C receivers are spelled "struct node *" but TYPE_DECLs "struct node"
+    deref = F.trim(F.regexp_replace(F.col("recovered_type"), r"\*", ""))
     recv_type = (
         fa.join(args, "fa_id").join(receivers, "arg_id")
         .join(recovered.withColumnRenamed("node_id", "arg_id"), "arg_id")
-        .select("fa_id", "doc_id", "method_id",
-                F.col("recovered_type").alias("recv_type"))
+        .select("fa_id", "doc_id", "method_id", deref.alias("recv_type"))
     )
 
     fields = nodes.filter(F.col("kind") == "FIELD_IDENTIFIER").select(

@@ -72,6 +72,20 @@ def test_alloc_propagation_links_q(graph):
     assert ("q.y", "y") in pairs
 
 
+def test_c_struct_member_linking(spark):
+    """C structs: p->val links to struct node's MEMBER val through the
+    dereferenced receiver type (struct node* → struct node)."""
+    src = ("struct node { int val; struct node *next; };\n"
+           "int get(struct node *p) { return p->val; }")
+    docs = docs_df(spark, [{"doc_id": "tr/list.c", "spans": split_code_spans(src, 1)}])
+    rows = parse_docs(docs).persist()
+    nodes, edges, _ = split_rows(rows)
+    refs = field_access_linker(nodes, edges)
+    n = nodes.select("node_id", "code", "name", "kind").toPandas().set_index("node_id")
+    pairs = {(n.loc[r["src"], "code"], n.loc[r["dst"], "name"]) for r in refs.collect()}
+    assert ("p->val", "val") in pairs
+
+
 def test_no_cross_method_type_leak(spark):
     """Same variable name, different declared types in different methods —
     each identifier must get ITS method's type (regression: a degenerate
