@@ -119,6 +119,42 @@ def reachable_by(nodes: DataFrame, edges: DataFrame,
     ).distinct()
 
 
+def flow_result_pairs(nodes: DataFrame, paths: list[list[int]],
+                      statement_level: bool = True) -> list[tuple]:
+    """Map node-id paths to (code, line) tuples and dedup — the reference's
+    ``flowToResultPairs`` comparison granularity (DataFlowTests.scala:46-60):
+    each element renders as its enclosing statement's code (an identifier
+    inside ``a = p0`` prints as ``a = p0``), consecutive duplicates collapse,
+    and identical printed paths dedup."""
+    rows = nodes.select("node_id", "code", "line", "kind", "parent_id").collect()
+    meta = {r["node_id"]: r for r in rows}
+    _STMT_PARENTS = {"BLOCK", "CONTROL_STRUCTURE", "METHOD", "JUMP_TARGET"}
+
+    def stmt(nid):
+        r = meta.get(nid)
+        if r is None:
+            return ("?", -1)
+        if not statement_level:
+            return (r["code"], r["line"])
+        cur = r
+        for _ in range(30):
+            parent = meta.get(cur["parent_id"])
+            if parent is None or parent["kind"] in _STMT_PARENTS:
+                break
+            cur = parent
+        return (cur["code"], cur["line"])
+
+    reps = set()
+    for p in paths:
+        rep = []
+        for n in p:
+            s = stmt(n)
+            if not rep or rep[-1] != s:
+                rep.append(s)
+        reps.add(tuple(rep))
+    return sorted(reps)
+
+
 def reachable_by_flows(nodes: DataFrame, edges: DataFrame,
                        sinks: DataFrame, sources: DataFrame,
                        max_call_depth: int = MAX_CALL_DEPTH,
