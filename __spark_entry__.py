@@ -28,7 +28,14 @@ def _cpg(spark: SparkSession, sf_dir: str):
     if key not in _CPG_CACHE:
         documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
         docs = synth_docs(documents)
-        _CPG_CACHE[key] = run_pipeline(spark, docs, n_parts=32)
+        res = run_pipeline(spark, docs, n_parts=32)
+        if sf_dir.rstrip("/").endswith("sf0.01"):
+            # the driver's correctness gate runs at sf0.01: dump the frames
+            # the DuckDB oracles re-derive from (joern_spark/cpg_oracles.py)
+            from joern_spark.cpg_oracles import dump_cpg
+
+            dump_cpg(res)
+        _CPG_CACHE[key] = res
     return _CPG_CACHE[key]
 
 
@@ -109,11 +116,15 @@ def cpg_scan_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cpg_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-of-API-symbols feature vectors (JoernVectors analog)."""
-    from joern_spark.vectors import bag_of_api_symbols
+    """Bag-of-API-symbols feature vectors (JoernVectors analog).
+
+    Exploded (doc_id, bucket, cnt) form: scalar columns only, hashable by the
+    driver's canonicalizer; the array form stays available as
+    ``joern_spark.vectors.bag_of_api_symbols``."""
+    from joern_spark.vectors import bag_of_api_symbols_long
 
     res = _cpg(spark, sf_dir)
-    return bag_of_api_symbols(res.nodes, dim=256)
+    return bag_of_api_symbols_long(res.nodes, dim=256)
 
 
 def cpg_canonical_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,4 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return analytics.all_oracles()
+    from joern_spark.cpg_oracles import ORACLES as cpg_oracles
+
+    out: dict[str, str] = {}
+    out.update(cpg_oracles)
+    out.update(analytics.all_oracles())
+    return out

@@ -12,7 +12,9 @@
 
 Dot products run in identical left-to-right fold order on both engines
 (double precision), so cosine values are bit-identical and rank ties don't
-flip.
+flip. Similarity outputs are integer basis points (``cos_bp`` =
+round(cos*10000) as long) so the driver's value hash sees no
+decimal-rendering ambiguity.
 """
 
 from __future__ import annotations
@@ -59,7 +61,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("rank").cast("long").alias("rank"),
-            F.round("cos", 4).cast("decimal(9,4)").alias("cos_sim"),
+            F.round(F.col("cos") * F.lit(10000.0)).cast("long").alias("cos_bp"),
         )
     )
 
@@ -114,9 +116,12 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
     return (
-        e.select("label", F.round(norm, 6).cast("decimal(18,6)").alias("norm"))
+        e.select("label", F.round(norm * F.lit(1000000.0)).cast("long").alias("norm_u"))
         .groupBy("label")
-        .agg(F.count("*").cast("long").alias("n_vecs"), F.sum("norm").cast("decimal(18,6)").alias("total_norm"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.col("norm_u").cast("decimal(38,0)")).cast("long").alias("total_norm_micro"),
+        )
     )
 
 
@@ -138,7 +143,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     )
     return sim.filter(F.col("cos") >= NEARDUP_T).select(
-        "vec_a", "vec_b", F.round("cos", 4).cast("decimal(9,4)").alias("cos_sim")
+        "vec_a", "vec_b",
+        F.round(F.col("cos") * F.lit(10000.0)).cast("long").alias("cos_bp"),
     )
 
 
@@ -174,7 +180,7 @@ ORACLES = {
             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b,
-               round({_dot_sql('va', 'vb')} / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})), 4)::DECIMAL(9,4) AS cos_sim
+               CAST(round({_dot_sql('va', 'vb')} / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})) * 10000.0) AS BIGINT) AS cos_bp
         FROM pairs
         WHERE {_dot_sql('va', 'vb')} / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})) >= {NEARDUP_T}
     """,
@@ -192,7 +198,7 @@ ORACLES = {
             FROM sim
         )
         SELECT query_id, neighbor_id, rank::BIGINT AS rank,
-               round(cos, 4)::DECIMAL(9,4) AS cos_sim
+               CAST(round(cos * 10000.0) AS BIGINT) AS cos_bp
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_lsh_topk": f"""
@@ -214,8 +220,9 @@ ORACLES = {
     """,
     "ann_embedding_stats": f"""
         WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
-        n AS (SELECT label, round(sqrt({_dot_sql('v', 'v')}), 6)::DECIMAL(18,6) AS norm FROM e)
-        SELECT label, count(*)::BIGINT AS n_vecs, sum(norm)::DECIMAL(18,6) AS total_norm
+        n AS (SELECT label, CAST(round(sqrt({_dot_sql('v', 'v')}) * 1000000.0) AS BIGINT) AS norm_u FROM e)
+        SELECT label, count(*)::BIGINT AS n_vecs,
+               CAST(sum(norm_u) AS BIGINT) AS total_norm_micro
         FROM n GROUP BY label
     """,
 }

@@ -113,7 +113,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard >= 0.1 via shingle inverted index.
 
     DF-capped shingles bound the candidate blowup and remove hot keys.
-    Jaccard as exact decimal: |A∩B| / (|A| + |B| - |A∩B|) rounded to 6.
+    Jaccard |A∩B| / (|A| + |B| - |A∩B|) is emitted as integer micro units
+    (round(j*1e6) as long) — IEEE-identical division/round on both engines —
+    and the threshold filter is the exact integer form 10*|A∩B| >= denom.
     """
     sh = _shingles(spark, sf_dir)
     df_ok = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
@@ -129,18 +131,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    denom = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("decimal(18,9)")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                6,
-            ).cast("decimal(18,6)"),
+        .filter(F.col("n_inter") * F.lit(int(round(1 / JACCARD_T))) >= denom)
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            F.round(F.col("n_inter").cast("double") * F.lit(1000000.0)
+                    / denom.cast("double")).cast("long").alias("jaccard_micro"),
         )
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
 
 
@@ -274,10 +273,10 @@ ORACLES = {
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b, n_inter,
-               round(n_inter::DECIMAL(18,9) / (sa.sz + sb.sz - n_inter), 6)::DECIMAL(18,6) AS jaccard
+               CAST(round(n_inter::DOUBLE * 1000000.0 / (sa.sz + sb.sz - n_inter)::DOUBLE) AS BIGINT) AS jaccard_micro
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_inter::DECIMAL(18,9) / (sa.sz + sb.sz - n_inter), 6) >= {JACCARD_T}
+        WHERE n_inter * {int(round(1 / JACCARD_T))} >= sa.sz + sb.sz - n_inter
     """,
 }

@@ -169,12 +169,17 @@ def media_refs_from_docs(spans: DataFrame) -> DataFrame:
 
 
 def _media_from_documents(spark, sf_dir: str) -> DataFrame:
-    """Deterministic media table derived from the documents table (every
-    fifth doc carries one artifact — mirrors joern_spark.synth)."""
+    """Deterministic media table derived from the documents table — the
+    EXACT universe joern_spark.synth interleaves (same md5 key, same
+    ``k % 5 == 0`` selection, same ``bin://artifact-<doc_id>`` spelling), so
+    these features join 1:1 with the pipeline's span-provenance media_refs."""
+    from ..ids import SYNTH_KEY_SPARK_SQL
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.expr(SYNTH_KEY_SPARK_SQL.format(doc_id="cast(doc_id as string)"))
     return (
-        d.select(F.col("doc_id").cast("string").alias("doc_id"))
-        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
+        d.select(F.col("doc_id").cast("string").alias("doc_id"), k.alias("k"))
+        .filter(F.pmod(F.col("k"), F.lit(5)) == 0)
         .select(F.concat(F.lit("bin://artifact-"), F.col("doc_id")).alias("media_ref"))
     )
 

@@ -1,14 +1,20 @@
 """Relational engine-parity queries over the TPC-H-ish tables.
 
 Each query exercises one of the join/agg shapes the CPG passes rely on
-(SURVEY.md §2.E), with money arithmetic in exact decimals so Spark and the
-DuckDB oracle agree bit-for-bit:
+(SURVEY.md §2.E):
 
 - pricing_summary  — partial-agg groupBy (NamespaceCreator shape, ref #5)
 - orders_by_nation — broadcast-dim join chain (AstLinkerPass shape, ref #10)
 - top_order_per_customer — window dedup (Engine.scala:154-179 keep-best shape)
 - customers_without_orders — anti-join (stub creation shape, ref #6/#7)
 - events_rollup    — event-stream groupBy rollup (lineage/metrics shape)
+
+Money math convention (drives the driver's value-hash gate): every monetary
+output is an INTEGER minor-unit column (``*_c`` = cents, ``*_bp`` = 1e-4
+units). Per-row ``round(x * scale)`` on the source double is IEEE-identical
+in Spark and DuckDB (same multiply, positive half-up rounding), and the sum
+of longs is exact and order-independent — no decimal-rendering ambiguity.
+Sums accumulate in decimal(38,0) so ANSI mode can't overflow at 100 TB.
 """
 
 from __future__ import annotations
@@ -21,19 +27,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _minor(col, scale: int):
+    """Double → exact integer minor units (e.g. cents): round(x*scale) as long."""
+    return F.round(col * F.lit(float(scale))).cast("long")
+
+
+def _lsum(col):
+    """Overflow-safe exact sum of a long column → long."""
+    return F.sum(col.cast("decimal(38,0)")).cast("long")
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary (exact decimal money math)."""
+    """TPC-H Q1-style pricing summary (integer minor-unit money math)."""
     li = _t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
+    price_c = _minor(F.col("l_extendedprice"), 100)
+    disc_bp = _minor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum((price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("decimal(18,4)"))
-            .cast("decimal(38,4)").alias("sum_disc_price"),
+            _lsum(_minor(F.col("l_quantity"), 100)).alias("sum_qty_c"),
+            _lsum(price_c).alias("sum_base_price_c"),
+            _lsum(disc_bp).alias("sum_disc_price_bp"),
             F.count("*").cast("long").alias("count_order"),
         )
     )
@@ -50,7 +67,7 @@ def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_price"),
+            _lsum(_minor(F.col("o_totalprice"), 100)).alias("total_price_c"),
         )
     )
 
@@ -67,7 +84,7 @@ def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("top_orderkey"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("top_price"),
+            _minor(F.col("o_totalprice"), 100).alias("top_price_c"),
         )
     )
 
@@ -83,15 +100,15 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event rollup per (event_type, day): count + exact total value."""
+    """Event rollup per (event_type, day): count + exact total value (1e-4 units)."""
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
-            "event_type", F.to_date("ts").alias("day")
+            "event_type", F.to_date("ts").cast("string").alias("day")
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            _lsum(_minor(F.col("value"), 10000)).alias("total_value_bp"),
         )
     )
 
@@ -107,9 +124,9 @@ QUERIES = {
 ORACLES = {
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
-               sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_base_price,
-               sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(18,4))::DECIMAL(38,4) AS sum_disc_price,
+               CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_bp,
                count(*)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
@@ -118,7 +135,7 @@ ORACLES = {
     "rel_orders_by_nation": """
         SELECT n_name,
                count(*)::BIGINT AS n_orders,
-               sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS total_price
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_price_c
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -126,7 +143,7 @@ ORACLES = {
     """,
     "rel_top_order_per_customer": """
         SELECT o_custkey, o_orderkey AS top_orderkey,
-               o_totalprice::DECIMAL(18,2) AS top_price
+               CAST(round(o_totalprice * 100.0) AS BIGINT) AS top_price_c
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
@@ -138,9 +155,9 @@ ORACLES = {
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
     "rel_events_rollup": """
-        SELECT event_type, ts::DATE AS day,
+        SELECT event_type, (ts::DATE)::VARCHAR AS day,
                count(*)::BIGINT AS n_events,
-               sum(value::DECIMAL(18,4))::DECIMAL(38,4) AS total_value
+               CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS BIGINT) AS total_value_bp
         FROM events
         GROUP BY event_type, ts::DATE
     """,

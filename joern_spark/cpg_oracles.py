@@ -1,0 +1,322 @@
+"""DuckDB oracles for the CPG driver queries.
+
+Parsing itself is not SQL-expressible, so the correctness gate works in two
+tiers:
+
+1. ``cpg_span_provenance`` is a PURE-SQL oracle: the synthesized corpus uses
+   an md5-based seed (``ids.synth_key``), so DuckDB re-derives every span of
+   every document straight from the raw ``documents`` table — program text,
+   span split points, media interleaving, offsets — with zero Python. This
+   independently verifies the north-rule span-sequence invariant
+   (kind, text, media_ref, order) end-to-end through parse + reconstruction.
+2. The remaining oracles run against a parquet dump of the pipeline's
+   ``nodes``/``edges``/``spans`` frames (written by ``dump_cpg`` as a side
+   effect of the sf0.01 run, before the driver evaluates the SQL). DuckDB
+   re-computes the *derivations* relationally — triple materialization,
+   edge→code joins, connected-components canonicalization (recursive CTE),
+   the scan bundle including the ``reachableBy`` dataflow query (recursive
+   CTE over REACHING_DEF + interprocedural hops), and the feature-hash
+   bucketing — so every join, filter, closure, and aggregation downstream of
+   the parser is independently checked.
+"""
+
+from __future__ import annotations
+
+import os
+
+DUMP_DIR = "/tmp/joern_spark_oracle/sf0.01"
+
+
+def dump_cpg(res) -> None:
+    """Write the pipeline's nodes/edges/spans for the DuckDB oracles."""
+    res.nodes.write.mode("overwrite").parquet(os.path.join(DUMP_DIR, "nodes"))
+    res.edges.write.mode("overwrite").parquet(os.path.join(DUMP_DIR, "edges"))
+    res.spans.select("doc_id", "span_offset", "kind", "text", "media_ref") \
+        .write.mode("overwrite").parquet(os.path.join(DUMP_DIR, "spans"))
+
+
+_N = f"read_parquet('{DUMP_DIR}/nodes/*.parquet')"
+_E = f"read_parquet('{DUMP_DIR}/edges/*.parquet')"
+_S = f"read_parquet('{DUMP_DIR}/spans/*.parquet')"
+
+_NL = "chr(10)"
+
+# ---- pure-SQL span derivation (mirrors synth.code_for_key + corpus.split) --
+
+_SPAN_SQL = f"""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS did FROM documents),
+kk AS (
+    SELECT did,
+           (('0x' || substr(md5('synth|' || did), 1, 8))::BIGINT % 2147483648) AS k
+    FROM d
+),
+parts AS (
+    SELECT did, k,
+           lpad(CAST(k % 1000000 AS VARCHAR), 6, '0') AS m6,
+           CAST(k % 97 AS VARCHAR) AS an,
+           CAST(k % 13 AS VARCHAR) AS bn,
+           (k % 5 = 0) AS has_media
+    FROM kk
+),
+spans0 AS (
+    SELECT did, 0 AS idx, 0 AS media_first, 'code' AS kind,
+           'int main_' || m6 || '() {{' || {_NL} ||
+           '  int a = ' || an || ';' || {_NL} ||
+           '  int b = a + ' || bn || ';' || {_NL} ||
+           '  char *buf = malloc(b);' || {_NL} ||
+           '  helper_' || m6 || '(a, b);' AS text,
+           '' AS media_ref
+    FROM parts
+    UNION ALL
+    SELECT did, 1, 1, 'code',
+           '  printf(buf);' || {_NL} ||
+           '  if (a > b) {{ a = b; }} else {{ b = a; }}' || {_NL} ||
+           '  while (a > 0) {{ a--; }}' || {_NL} ||
+           '  return b;' || {_NL} ||
+           '}}', ''
+    FROM parts
+    UNION ALL
+    SELECT did, 2, 1, 'code',
+           'void helper_' || m6 || '(int x, int y) {{' || {_NL} ||
+           '  int s = x + y;' || {_NL} ||
+           '  printf(s);' || {_NL} ||
+           '}}', ''
+    FROM parts
+    UNION ALL
+    SELECT did, 1, 0, 'media', '', 'bin://artifact-' || did
+    FROM parts WHERE has_media
+)
+SELECT 'synth/' || did AS doc_id,
+       CAST(row_number() OVER (PARTITION BY did ORDER BY idx, media_first) - 1 AS INT)
+           AS span_offset,
+       kind, text, media_ref
+FROM spans0
+"""
+
+# ---- triples re-materialization from the dumped frames ---------------------
+
+_PROPS = ["name", "full_name", "code", "signature", "dispatch_type"]
+_INT_PROPS = ["order", "argument_index"]
+
+_TRIPLES_SQL = (
+    f"WITH n AS (SELECT * FROM {_N}), e AS (SELECT * FROM {_E}), "
+    f"s AS (SELECT * FROM {_S})\n"
+    + "\nUNION ALL\n".join(
+        [
+            "SELECT CAST(node_id AS VARCHAR) AS subj, 'kind' AS pred, "
+            "kind AS obj, doc_id FROM n WHERE kind IS NOT NULL AND kind != ''"
+        ]
+        + [
+            f"SELECT CAST(node_id AS VARCHAR), '{p}', \"{p}\", doc_id FROM n "
+            f"WHERE \"{p}\" IS NOT NULL AND \"{p}\" != ''"
+            for p in _PROPS
+        ]
+        + [
+            f"SELECT CAST(node_id AS VARCHAR), '{p}', CAST(\"{p}\" AS VARCHAR), "
+            f"doc_id FROM n WHERE \"{p}\" IS NOT NULL"
+            for p in _INT_PROPS
+        ]
+        + [
+            "SELECT CAST(src AS VARCHAR), kind, CAST(dst AS VARCHAR), doc_id FROM e",
+            "SELECT CAST(f.node_id AS VARCHAR), 'media_ref', s.media_ref, s.doc_id "
+            "FROM s JOIN n f ON f.kind = 'FILE' AND f.doc_id = s.doc_id "
+            "WHERE s.kind = 'media'",
+        ]
+    )
+)
+
+# ---- edge→code join oracles ------------------------------------------------
+
+_CFG_SQL = f"""
+WITH n AS (SELECT node_id, code FROM {_N}), e AS (SELECT * FROM {_E})
+SELECT e.doc_id, ns.code AS src_code, nd.code AS dst_code
+FROM e JOIN n ns ON e.src = ns.node_id JOIN n nd ON e.dst = nd.node_id
+WHERE e.kind = 'CFG'
+"""
+
+_RD_SQL = f"""
+WITH n AS (SELECT node_id, code FROM {_N}), e AS (SELECT * FROM {_E})
+SELECT e.doc_id, ns.code AS src_code, nd.code AS dst_code, e.variable AS var
+FROM e JOIN n ns ON e.src = ns.node_id JOIN n nd ON e.dst = nd.node_id
+WHERE e.kind = 'REACHING_DEF'
+"""
+
+_DOM_SQL = f"""
+WITH n AS (SELECT node_id, code FROM {_N}), e AS (SELECT * FROM {_E})
+SELECT e.doc_id, e.kind AS edge_kind, ns.code AS src_code, nd.code AS dst_code
+FROM e JOIN n ns ON e.src = ns.node_id JOIN n nd ON e.dst = nd.node_id
+WHERE e.kind IN ('DOMINATE', 'POST_DOMINATE', 'CDG')
+"""
+
+_CALLGRAPH_SQL = f"""
+WITH n AS (SELECT node_id, code, full_name FROM {_N}), e AS (SELECT * FROM {_E})
+SELECT e.doc_id, ns.code AS call_code, nd.full_name AS callee_full_name
+FROM e JOIN n ns ON e.src = ns.node_id JOIN n nd ON e.dst = nd.node_id
+WHERE e.kind = 'CALL'
+"""
+
+# ---- canonicalization: connected components over the alias mention graph ---
+
+_CANON_SQL = f"""
+WITH RECURSIVE n AS (SELECT * FROM {_N}), e AS (SELECT * FROM {_E}),
+spell AS (
+    SELECT type_full_name AS a FROM n
+    WHERE type_full_name IS NOT NULL AND type_full_name != ''
+    UNION
+    SELECT full_name FROM n WHERE kind IN ('TYPE', 'TYPE_DECL')
+),
+deref_pairs AS (
+    SELECT a, regexp_replace(regexp_replace(a, '\\*', '', 'g'), '\\s+$', '') AS b
+    FROM spell
+),
+alias_edges AS (
+    SELECT na.full_name AS a, nb.full_name AS b
+    FROM e JOIN n na ON na.node_id = e.src JOIN n nb ON nb.node_id = e.dst
+    WHERE e.kind = 'ALIAS_OF'
+),
+mentions AS (
+    SELECT a, b FROM deref_pairs WHERE a != b AND b != ''
+    UNION
+    SELECT a, b FROM alias_edges WHERE a != b
+),
+und AS (SELECT a, b FROM mentions UNION SELECT b, a FROM mentions),
+reach AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b != r.a
+),
+universe AS (SELECT a AS nd FROM mentions UNION SELECT b FROM mentions)
+SELECT nd AS full_name, least(coalesce(min(r.b), nd), nd) AS canonical
+FROM universe LEFT JOIN reach r ON r.a = nd
+GROUP BY nd
+"""
+
+# ---- feature-hash vectors ---------------------------------------------------
+
+_VECTORS_SQL = f"""
+WITH n AS (SELECT * FROM {_N})
+SELECT doc_id,
+       CAST((('0x' || substr(md5(name), 1, 8))::BIGINT % 256) AS INT) AS bucket,
+       count(*)::BIGINT AS cnt
+FROM n
+WHERE kind = 'CALL' AND name NOT LIKE '<operator>%'
+GROUP BY doc_id, bucket
+"""
+
+# ---- scan bundle (incl. the reachableBy dataflow query) ---------------------
+
+_SCAN_SQL = f"""
+WITH RECURSIVE n AS (SELECT * FROM {_N}), e AS (SELECT * FROM {_E}),
+-- q1: malloc call sites in methods with no free()
+mallocs AS (
+    SELECT node_id, method_id, doc_id, code FROM n
+    WHERE kind = 'CALL' AND regexp_matches(name, '^malloc$')
+),
+freem AS (
+    SELECT DISTINCT method_id FROM n
+    WHERE kind = 'CALL' AND regexp_matches(name, '^free$')
+),
+q1 AS (
+    -- one row per matched node id (the Spark side dedups on node_id only)
+    SELECT 'malloc-without-free' AS name, m.doc_id, m.code AS finding_code
+    FROM mallocs m
+    WHERE NOT EXISTS (SELECT 1 FROM freem f WHERE f.method_id = m.method_id)
+),
+-- q2: literals reaching printf-family sink arguments (reachableBy)
+fmt_calls AS (
+    SELECT node_id FROM n
+    WHERE kind = 'CALL' AND regexp_matches(name, '^(printf|sprintf|fprintf)$')
+),
+sink_ids AS (
+    SELECT DISTINCT a.dst AS node_id
+    FROM e a JOIN fmt_calls c ON a.src = c.node_id
+    WHERE a.kind = 'ARGUMENT'
+),
+lits AS (SELECT node_id FROM n WHERE kind = 'LITERAL'),
+rdback AS (SELECT dst AS node_id, src AS prev FROM e WHERE kind = 'REACHING_DEF'),
+callsx AS (SELECT src AS call_id, dst AS callee_id FROM e WHERE kind = 'CALL'),
+argsx AS (
+    SELECT a.src AS call_id, a.dst AS arg_id, na.argument_index AS a_index
+    FROM e a JOIN n na ON na.node_id = a.dst
+    WHERE a.kind = 'ARGUMENT'
+),
+params AS (
+    SELECT node_id AS param_id, method_id AS callee_id, "order" AS p_index
+    FROM n WHERE kind = 'METHOD_PARAMETER_IN'
+),
+rets AS (
+    SELECT node_id AS ret_id, method_id AS callee_id FROM n
+    WHERE kind IN ('RETURN', 'METHOD_RETURN')
+),
+interback AS (
+    SELECT DISTINCT p.param_id AS node_id, ar.arg_id AS prev
+    FROM params p
+    JOIN callsx c ON c.callee_id = p.callee_id
+    JOIN argsx ar ON ar.call_id = c.call_id AND ar.a_index = p.p_index
+    UNION
+    SELECT DISTINCT c.call_id, r.ret_id
+    FROM callsx c JOIN rets r ON r.callee_id = c.callee_id
+),
+stepe AS (
+    SELECT node_id, prev, 0 AS dd FROM rdback
+    UNION ALL
+    SELECT node_id, prev, 1 FROM interback
+),
+fl AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM sink_ids
+    UNION
+    SELECT s.prev, fl.sink_id, fl.depth + s.dd
+    FROM fl JOIN stepe s ON s.node_id = fl.node_id
+    WHERE fl.depth + s.dd <= 4
+),
+hit_sinks AS (
+    SELECT DISTINCT fl.sink_id FROM fl JOIN lits l ON l.node_id = fl.node_id
+),
+q2 AS (
+    SELECT 'literal-to-format-sink' AS name, n.doc_id, n.code AS finding_code
+    FROM hit_sinks h JOIN n ON n.node_id = h.sink_id
+),
+-- q3: internal non-main methods with no incoming CALL edge
+q3 AS (
+    SELECT 'uncalled-internal-method' AS name, m.doc_id,
+           m.code AS finding_code
+    FROM n m
+    WHERE m.kind = 'METHOD' AND m.is_external = false
+      AND NOT regexp_matches(m.name, '^main')
+      AND NOT EXISTS (
+          SELECT 1 FROM e WHERE e.kind = 'CALL' AND e.dst = m.node_id
+      )
+),
+-- q4: control structures nested >= 3 deep (transitive AST ancestors)
+anc AS (
+    SELECT dst AS node_id, src AS anc_id FROM e WHERE kind = 'AST'
+    UNION
+    SELECT a.node_id, e.src FROM anc a JOIN e ON e.kind = 'AST' AND e.dst = a.anc_id
+),
+cs AS (SELECT node_id, doc_id, code FROM n WHERE kind = 'CONTROL_STRUCTURE'),
+q4 AS (
+    SELECT 'deeply-nested-control' AS name, doc_id, code AS finding_code
+    FROM (
+        SELECT DISTINCT c1.node_id, c1.doc_id, c1.code
+        FROM cs c1
+        JOIN anc a1 ON a1.node_id = c1.node_id
+        JOIN cs c2 ON c2.node_id = a1.anc_id
+        JOIN anc a2 ON a2.node_id = c2.node_id
+        JOIN cs c3 ON c3.node_id = a2.anc_id
+    )
+)
+SELECT * FROM q1 UNION ALL SELECT * FROM q2
+UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
+"""
+
+ORACLES = {
+    "cpg_span_provenance": _SPAN_SQL,
+    "cpg_triples": _TRIPLES_SQL,
+    "cpg_cfg_edges": _CFG_SQL,
+    "cpg_reaching_def": _RD_SQL,
+    "cpg_dominators": _DOM_SQL,
+    "cpg_callgraph": _CALLGRAPH_SQL,
+    "cpg_canonical_symbols": _CANON_SQL,
+    "cpg_vectors": _VECTORS_SQL,
+    "cpg_scan_findings": _SCAN_SQL,
+}

@@ -27,3 +27,26 @@ def node_id(doc_id: str, span_offset: int, local_index: int) -> int:
 
 def stub_id(full_name: str, *extra: object) -> int:
     return stable_id("stub", full_name, *extra)
+
+
+def synth_key(doc_id: str) -> int:
+    """Deterministic 31-bit corpus seed for a document.
+
+    md5-based on purpose: the identical value is expressible in Spark SQL
+    (``conv(substring(md5(...), 1, 8), 16, 10)``) and DuckDB
+    (``('0x' || substr(md5(...), 1, 8))::BIGINT``), which lets the
+    span-provenance DuckDB oracle re-derive the synthesized corpus from the
+    raw ``documents`` table with no Python in the loop.
+    """
+    raw = f"synth|{doc_id}".encode("utf-8")
+    return int(hashlib.md5(raw).hexdigest()[:8], 16) % (1 << 31)
+
+
+SYNTH_KEY_SPARK_SQL = (
+    "pmod(cast(conv(substring(md5(concat('synth|', {doc_id})), 1, 8), 16, 10) "
+    "as bigint), 2147483648)"
+)
+
+SYNTH_KEY_DUCKDB_SQL = (
+    "(('0x' || substr(md5('synth|' || {doc_id}), 1, 8))::BIGINT % 2147483648)"
+)

@@ -44,12 +44,13 @@ def windowed_event_counts(
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_value"),
+            F.sum(F.round(F.col("value").cast("double") * F.lit(10000.0)).cast("decimal(38,0)"))
+            .cast("long").alias("total_value_bp"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            "event_type", "n_events", "total_value",
+            "event_type", "n_events", "total_value_bp",
         )
     )
 
@@ -140,7 +141,7 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) 
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("double")).alias("total_value"),
+            F.sum("value").alias("total_value"),
         )
         .drop("session_no")
     )

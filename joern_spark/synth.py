@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .corpus import split_code_spans, with_media
-from .ids import stable_id
+from .ids import synth_key
 from .schema import DOCS_SCHEMA
 
 
@@ -58,7 +58,7 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"].astype(str):
-                k = stable_id("synth", doc_id) % (1 << 31)
+                k = synth_key(doc_id)
                 helper = f"helper_{k % 1000000:06d}"
                 spans = split_code_spans(code_for_key(k, helper), 3)
                 if k % 5 == 0:

@@ -27,11 +27,29 @@ def bag_of_api_symbols(nodes: DataFrame, dim: int = DIM_DEFAULT) -> DataFrame:
     return _hash_bag(calls.select("doc_id", F.col("name").alias("feature")), dim)
 
 
-def _hash_bag(feats: DataFrame, dim: int) -> DataFrame:
-    bucketed = feats.withColumn(
-        "bucket", F.pmod(F.xxhash64("feature"), F.lit(dim)).cast("int")
+def bag_of_api_symbols_long(nodes: DataFrame, dim: int = DIM_DEFAULT) -> DataFrame:
+    """Exploded form: one (doc_id, bucket, cnt) row per non-empty bucket —
+    scalar columns only (the driver's canonicalizer can hash them), same
+    information as the array form. Bucket hash is md5-derived so a DuckDB
+    oracle computes the identical bucketing."""
+    calls = nodes.filter(
+        (F.col("kind") == "CALL") & ~F.col("name").startswith("<operator>")
     )
-    counts = bucketed.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    return _bucket_counts(calls.select("doc_id", F.col("name").alias("feature")), dim)
+
+
+def _bucket_counts(feats: DataFrame, dim: int) -> DataFrame:
+    # md5-hex → int bucket: portable to DuckDB ('0x'||substr(md5(f),1,8))
+    h = F.conv(F.substring(F.md5("feature"), 1, 8), 16, 10).cast("long")
+    bucketed = feats.withColumn("bucket", F.pmod(h, F.lit(dim)).cast("int"))
+    return (
+        bucketed.groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _hash_bag(feats: DataFrame, dim: int) -> DataFrame:
+    counts = _bucket_counts(feats, dim)
     return (
         counts.withColumn("pair", F.struct("bucket", "cnt"))
         .groupBy("doc_id")

@@ -81,7 +81,7 @@ def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
     # the final windows stay open — assert the query ran and schema is right
     out = spark.sql("select * from wincounts")
     assert set(out.columns) == {
-        "window_start", "window_end", "event_type", "n_events", "total_value"
+        "window_start", "window_end", "event_type", "n_events", "total_value_bp"
     }
 
 
