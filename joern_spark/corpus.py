@@ -57,6 +57,16 @@ class B extends A { int f() { return 2; } }
 class UseIt { int g(A a) { return a.f(); } }"""
 
 
+F10_FNPTR_C = """void handler(int e) { printf(e); }
+void reg() { submit(handler); }"""
+
+F9_TRY_CPP = """int try1() { try { a; } catch (int x) { b; } }
+int try3() {
+  try { c; } catch (short u) { d; } catch (int v) { e; } catch (long w) { f; }
+}
+int tryf() { try { g; } catch (int x) { h; } finally { i; } }"""
+
+
 def split_code_spans(text: str, n_spans: int = 3) -> list[dict]:
     """Split source text into n code spans at line boundaries (deterministic)."""
     lines = text.split("\n")
@@ -103,6 +113,10 @@ def fixture_docs() -> list[dict]:
         {"doc_id": "fixtures/c/flow_media",
          "spans": with_media(split_code_spans(F1_FLOW_C, 3),
                              ["bin://blob-1", "bin://blob-2"], [1])},
+        # F9: try/catch/finally fan-out (CfgCreationPassTests.scala:515-545)
+        {"doc_id": "fixtures/c/try", "spans": split_code_spans(F9_TRY_CPP, 2)},
+        # F10: function reference outside call position (MethodRefLinker)
+        {"doc_id": "fixtures/c/fnptr", "spans": split_code_spans(F10_FNPTR_C, 1)},
     ]
     return docs
 

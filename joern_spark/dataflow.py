@@ -29,21 +29,9 @@ def _edges_of(edges: DataFrame, kind: str) -> DataFrame:
     return edges.filter(F.col("kind") == kind)
 
 
-def reachable_by(nodes: DataFrame, edges: DataFrame,
-                 sinks: DataFrame, sources: DataFrame,
-                 max_call_depth: int = MAX_CALL_DEPTH) -> DataFrame:
-    """Which sources reach which sinks through data flow?
-
-    sinks/sources: DataFrames with a ``node_id`` column.
-    Returns (source_id, sink_id) pairs.
-
-    The frontier is (node_id, sink_id, depth): every node whose value flows
-    into sink_id, reached backwards. depth counts interprocedural hops only,
-    mirroring the reference's k-limit semantics.
-    """
-    rd_back = _edges_of(edges, "REACHING_DEF").select(
-        F.col("dst").alias("node_id"), F.col("src").alias("prev_id")
-    )
+def interproc_back_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Backward interprocedural hops (node_id, prev_id):
+    param ← caller argument and call-site ← callee RETURN/METHOD_RETURN."""
     call_edges = _edges_of(edges, "CALL").select(
         F.col("src").alias("call_id"), F.col("dst").alias("callee_id")
     )
@@ -80,8 +68,25 @@ def reachable_by(nodes: DataFrame, edges: DataFrame,
         .select(F.col("call_id").alias("node_id"), F.col("ret_id").alias("prev_id"))
         .distinct()
     )
+    return param_to_arg.unionByName(call_to_return)
 
-    inter_back = param_to_arg.unionByName(call_to_return).persist()
+
+def reachable_by(nodes: DataFrame, edges: DataFrame,
+                 sinks: DataFrame, sources: DataFrame,
+                 max_call_depth: int = MAX_CALL_DEPTH) -> DataFrame:
+    """Which sources reach which sinks through data flow?
+
+    sinks/sources: DataFrames with a ``node_id`` column.
+    Returns (source_id, sink_id) pairs.
+
+    The frontier is (node_id, sink_id, depth): every node whose value flows
+    into sink_id, reached backwards. depth counts interprocedural hops only,
+    mirroring the reference's k-limit semantics.
+    """
+    rd_back = _edges_of(edges, "REACHING_DEF").select(
+        F.col("dst").alias("node_id"), F.col("src").alias("prev_id")
+    )
+    inter_back = interproc_back_edges(nodes, edges).persist()
 
     frontier = sinks.select(
         F.col("node_id"), F.col("node_id").alias("sink_id"), F.lit(0).alias("depth")
@@ -125,9 +130,30 @@ def flow_result_pairs(nodes: DataFrame, paths: list[list[int]],
     ``flowToResultPairs`` comparison granularity (DataFlowTests.scala:46-60):
     each element renders as its enclosing statement's code (an identifier
     inside ``a = p0`` prints as ``a = p0``), consecutive duplicates collapse,
-    and identical printed paths dedup."""
-    rows = nodes.select("node_id", "code", "line", "kind", "parent_id").collect()
-    meta = {r["node_id"]: r for r in rows}
+    and identical printed paths dedup.
+
+    Metadata is fetched by BOUNDED semi-joins: only the path nodes and their
+    parent chains (≤ a few rounds of a broadcast join each) ever reach the
+    driver — never the whole nodes table.
+    """
+    spark = nodes.sparkSession
+    meta: dict[int, dict] = {}
+    need = sorted({int(n) for p in paths for n in p})
+    for _ in range(32):
+        if not need:
+            break
+        probe = spark.createDataFrame([(i,) for i in need], "node_id long")
+        rows = (
+            nodes.join(F.broadcast(probe), "node_id")
+            .select("node_id", "code", "line", "kind", "parent_id")
+            .collect()
+        )
+        for r in rows:
+            meta[r["node_id"]] = r
+        need = sorted({
+            int(r["parent_id"]) for r in rows
+            if r["parent_id"] is not None and r["parent_id"] not in meta
+        })
     _STMT_PARENTS = {"BLOCK", "CONTROL_STRUCTURE", "METHOD", "JUMP_TARGET"}
 
     def stmt(nid):
@@ -155,36 +181,173 @@ def flow_result_pairs(nodes: DataFrame, paths: list[list[int]],
     return sorted(reps)
 
 
+_SEG_SCHEMA = (
+    "method_id long, entry_id long, exit_id long, exit_role string, "
+    "path array<long>"
+)
+_MAX_SEGMENT_PATHS = 4000  # per-entry DFS cap (Engine task caps analog)
+
+
+def flow_segments(nodes: DataFrame, edges: DataFrame,
+                  sinks: DataFrame, sources: DataFrame) -> DataFrame:
+    """Method-local backward path segments, enumerated WHERE THE DATA LIVES.
+
+    REACHING_DEF edges are method-local by construction (the per-method
+    kernels emit them with ``method_id``), so path enumeration shards
+    perfectly: one ``applyInPandas`` group per method walks its own RD
+    subgraph backwards from every *entry* node (a sink, or a stitch landing
+    point: a caller argument / a callee RETURN) and emits a segment whenever
+    it reaches a *terminal* (a source → complete, or a boundary node that
+    hops interprocedurally → to be stitched).  Paths are stored
+    forward-ordered (exit … entry) so stitching is array concatenation.
+    """
+    rd = _edges_of(edges, "REACHING_DEF").select("method_id", "src", "dst") \
+        .filter(F.col("method_id").isNotNull())
+    inter = interproc_back_edges(nodes, edges)
+
+    nid = nodes.select("node_id", "method_id")
+
+    def _mark(ids: DataFrame, col: str, role: str) -> DataFrame:
+        return (
+            ids.select(F.col(col).alias("node_id")).distinct()
+            .join(nid, "node_id")
+            .select("method_id", "node_id", F.lit(role).alias("role"))
+        )
+
+    marks = (
+        _mark(sinks, "node_id", "entry")
+        .unionByName(_mark(inter, "prev_id", "entry"))      # stitch landings
+        .unionByName(_mark(sources, "node_id", "source"))
+        .unionByName(_mark(inter, "node_id", "boundary"))   # hop departures
+        .filter(F.col("method_id").isNotNull())
+        .distinct()
+    )
+
+    def kernel(key, edge_pdf, mark_pdf):
+        import pandas as pd
+        mid = key[0]
+        back: dict[int, list[int]] = {}
+        for s, d in zip(edge_pdf["src"], edge_pdf["dst"]):
+            back.setdefault(int(d), []).append(int(s))
+        roles: dict[int, set] = {}
+        for n, r in zip(mark_pdf["node_id"], mark_pdf["role"]):
+            roles.setdefault(int(n), set()).add(r)
+        out = []
+        entries = sorted(n for n, rs in roles.items() if "entry" in rs)
+        for e in entries:
+            count = 0
+            stack: list[tuple[int, tuple[int, ...]]] = [(e, (e,))]
+            while stack and count < _MAX_SEGMENT_PATHS:
+                cur, path = stack.pop()
+                if len(path) > 1:
+                    rs = roles.get(cur, ())
+                    if "source" in rs:
+                        out.append((mid, e, cur, "source", list(reversed(path))))
+                        count += 1
+                    if "boundary" in rs:
+                        out.append((mid, e, cur, "boundary", list(reversed(path))))
+                        count += 1
+                for prev in sorted(back.get(cur, ())):
+                    if prev not in path:
+                        stack.append((prev, path + (prev,)))
+        return pd.DataFrame(
+            out, columns=["method_id", "entry_id", "exit_id", "exit_role", "path"]
+        ) if out else pd.DataFrame(
+            columns=["method_id", "entry_id", "exit_id", "exit_role", "path"]
+        )
+
+    return (
+        rd.groupby("method_id")
+        .cogroup(marks.groupby("method_id"))
+        .applyInPandas(kernel, schema=_SEG_SCHEMA)
+    )
+
+
+def reachable_by_flows_df(nodes: DataFrame, edges: DataFrame,
+                          sinks: DataFrame, sources: DataFrame,
+                          max_call_depth: int = MAX_CALL_DEPTH) -> DataFrame:
+    """Distributed ``reachableByFlows``: (sink_id, path array<long>) with
+    source→sink forward paths, keep-longest deduped per (head, sink) like
+    ``Engine.scala:154-179``.
+
+    Intra-method enumeration runs sharded (``flow_segments``); only the
+    interprocedural stitching — ≤ ``max_call_depth`` rounds of equi-joins on
+    the (small) boundary-segment table — crosses methods.  No full-table
+    collects anywhere.
+    """
+    # localCheckpoint (not persist): the stitch loop builds round-over-round
+    # joins, and without lineage truncation the logical plan tree grows
+    # multiplicatively until plan *stringification* alone overflows the driver
+    seg = flow_segments(nodes, edges, sinks, sources).localCheckpoint(eager=True)
+    hops = interproc_back_edges(nodes, edges).select(
+        F.col("node_id").alias("from_id"), F.col("prev_id").alias("to_id")
+    ).localCheckpoint(eager=True)
+
+    sink_ids = sinks.select("node_id").distinct()
+    base = seg.join(
+        sink_ids.withColumnRenamed("node_id", "entry_id"), "entry_id"
+    ).select(
+        F.col("entry_id").alias("sink_id"), "exit_id", "exit_role", "path"
+    )
+
+    # trivial flow: a sink that itself satisfies the source predicate
+    trivial = (
+        sink_ids.join(sources.select("node_id").distinct(), "node_id")
+        .select(F.col("node_id").alias("sink_id"),
+                F.array(F.col("node_id")).alias("path"))
+    )
+
+    done = base.filter(F.col("exit_role") == "source").select("sink_id", "path") \
+        .unionByName(trivial)
+    open_ = base.filter(F.col("exit_role") == "boundary")
+
+    ext = seg.select(
+        F.col("entry_id").alias("to_id"),
+        F.col("exit_id").alias("n_exit"),
+        F.col("exit_role").alias("n_role"),
+        F.col("path").alias("n_path"),
+    )
+    for _ in range(max_call_depth):
+        nxt = (
+            open_.join(hops, open_["exit_id"] == hops["from_id"])
+            .join(ext, "to_id")
+            .select(
+                "sink_id",
+                F.col("n_exit").alias("exit_id"),
+                F.col("n_role").alias("exit_role"),
+                F.concat(F.col("n_path"), F.col("path")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = done.unionByName(
+            nxt.filter(F.col("exit_role") == "source").select("sink_id", "path")
+        )
+        open_ = nxt.filter(F.col("exit_role") == "boundary")
+        if open_.limit(1).count() == 0:
+            break
+
+    # keep-longest per (head, sink) — Engine.scala:154-179 dedup
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sink_id", F.element_at("path", 1)).orderBy(
+        F.size("path").desc(), F.col("path")
+    )
+    return (
+        done.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sink_id", "path")
+    )
+
+
 def reachable_by_flows(nodes: DataFrame, edges: DataFrame,
                        sinks: DataFrame, sources: DataFrame,
                        max_call_depth: int = MAX_CALL_DEPTH,
                        max_paths: int = 10000) -> list[list[int]]:
-    """Path-materializing variant (driver-side reconstruction; test scale).
-
-    Mirrors ``reachableByFlows``: returns source→sink node-id paths, deduped
-    keep-longest per (source, sink) like ``Engine.scala:154-179``.
-    """
-    rd = _edges_of(edges, "REACHING_DEF").select("src", "dst").collect()
-    src_ids = {r["node_id"] for r in sources.select("node_id").collect()}
-    sink_ids = {r["node_id"] for r in sinks.select("node_id").collect()}
-    back: dict[int, list[int]] = {}
-    for r in rd:
-        back.setdefault(r["dst"], []).append(r["src"])
-
-    paths: list[list[int]] = []
-    for sink in sorted(sink_ids):
-        stack: list[tuple[int, tuple[int, ...]]] = [(sink, (sink,))]
-        while stack and len(paths) < max_paths:
-            cur, path = stack.pop()
-            if cur in src_ids and len(path) > 1 or (cur in src_ids and cur != sink):
-                paths.append(list(reversed(path)))
-            for prev in sorted(back.get(cur, ())):
-                if prev not in path:
-                    stack.append((prev, path + (prev,)))
-    # keep-longest dedup per (head, last)
-    best: dict[tuple[int, int], list[int]] = {}
-    for p in paths:
-        key = (p[0], p[-1])
-        if key not in best or len(p) > len(best[key]):
-            best[key] = p
-    return sorted(best.values())
+    """List-of-paths facade over ``reachable_by_flows_df`` (tests/goldens).
+    Only the ≤``max_paths`` final paths reach the driver."""
+    rows = (
+        reachable_by_flows_df(nodes, edges, sinks, sources, max_call_depth)
+        .limit(max_paths).collect()
+    )
+    return sorted([int(n) for n in r["path"]] for r in rows)

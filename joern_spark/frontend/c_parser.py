@@ -146,7 +146,9 @@ class CParser:
         self.expect("{")
         order = 0
         if keyword == "enum":
-            # enum constants: MEMBERs with int type
+            # enum constants: MEMBERs with int type; an `= expr` initializer
+            # is skipped through the next ',' or '}' so identifier-valued
+            # initializers (enum E { A = FOO }) can't become phantom members
             while self.peek() is not None and not self.at("}"):
                 t = self.eat()
                 if t.kind == "ident":
@@ -154,7 +156,10 @@ class CParser:
                     node.add(AstNode(kind="MEMBER", name=t.text, code=t.text,
                                      type_full_name="int", pos=t.pos,
                                      line=t.line), order=order)
-                # skip '= value' initializers and commas
+                    if self.at("="):
+                        while (self.peek() is not None and not self.at(",")
+                               and not self.at("}")):
+                            self.eat()
         else:
             while self.peek() is not None and not self.at("}"):
                 before = self.i
@@ -162,10 +167,20 @@ class CParser:
                 mtype = self.parse_type()
                 if not mtype and self.at_kind("ident"):
                     mtype = self.eat().text
-                while self.at("*"):
-                    self.eat()
-                    mtype += "*"
-                while self.at_kind("ident"):
+                # stars bind per declarator (`int *a, b;` types b as int,
+                # `int a, *b;` types b as int*) — count them per name.
+                # parse_type greedily ate the first declarator's stars: peel
+                # them off the base and hand them to the first name only.
+                base = mtype.rstrip("*")
+                lead_stars = mtype[len(base):]
+                mtype = base
+                while True:
+                    stars, lead_stars = lead_stars, ""
+                    while self.at("*"):
+                        self.eat()
+                        stars += "*"
+                    if not self.at_kind("ident"):
+                        break
                     mname = self.eat().text
                     suffix = ""
                     while self.at("["):
@@ -175,13 +190,11 @@ class CParser:
                         suffix += "[]"
                     order += 1
                     node.add(AstNode(kind="MEMBER", name=mname,
-                                     code=f"{mtype} {mname}".strip(),
-                                     type_full_name=(mtype + suffix) or "ANY",
+                                     code=f"{mtype}{stars} {mname}".strip(),
+                                     type_full_name=(mtype + stars + suffix) or "ANY",
                                      pos=mt.pos, line=mt.line), order=order)
                     if not self.accept(","):
                         break
-                    while self.at("*"):
-                        self.eat()
                 self.accept(";")
                 if self.i == before:  # no progress: skip one token
                     self.eat()
@@ -324,6 +337,20 @@ class CParser:
                 return [g]
             if kw == "return":
                 return [self.parse_return()]
+            if kw == "try":
+                return [self.parse_try()]
+            if kw == "throw":
+                # javasrc2cpg: ThrowStmt → CONTROL_STRUCTURE THROW (CFG-empty,
+                # matching CfgCreator's default case)
+                self.eat()
+                node = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="THROW",
+                               code="throw", pos=t.pos, line=t.line)
+                expr = self.parse_expr()
+                self.accept(";")
+                if expr is not None:
+                    node.add(expr, order=1, argument_index=1)
+                    node.code = f"throw {expr.code}"
+                return [node]
             if kw in ("case", "default"):
                 return [self.parse_case_label()]
             if self.at_type():
@@ -447,6 +474,42 @@ class CParser:
             block.add(st)
         block.code = block.children[0].code if block.children else ""
         return block
+
+    def parse_try(self) -> AstNode:
+        """``try { } catch (T e) { } … finally { }`` → CONTROL_STRUCTURE
+        TRY with the try BLOCK as child 1, one CATCH control structure per
+        handler (exception declaration lowered to a LOCAL inside it), and an
+        optional trailing FINALLY (reference: javasrc2cpg
+        AstForStatementsCreator tryStatement shape, CfgCreator.scala:492)."""
+        t = self.eat()
+        node = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="TRY", code="try",
+                       pos=t.pos, line=t.line)
+        node.add(self.parse_statement_as_block(), order=1)
+        while self.at("catch"):
+            c = self.eat()
+            cs = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="CATCH",
+                         code="catch", pos=c.pos, line=c.line)
+            if self.at("("):
+                self.expect("(")
+                toks = []
+                while self.peek() is not None and not self.at(")"):
+                    toks.append(self.eat())
+                self.expect(")")
+                if toks:
+                    ty = " ".join(x.text for x in toks[:-1]) or "ANY"
+                    cs.add(AstNode(kind="LOCAL", name=toks[-1].text,
+                                   code=f"{ty} {toks[-1].text}".strip(),
+                                   type_full_name=ty, pos=toks[0].pos,
+                                   line=toks[0].line))
+            cs.add(self.parse_statement_as_block())
+            node.add(cs)
+        if self.at("finally"):
+            f = self.eat()
+            fs = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="FINALLY",
+                         code="finally", pos=f.pos, line=f.line)
+            fs.add(self.parse_statement_as_block(), order=1)
+            node.add(fs)
+        return node
 
     def parse_while(self) -> AstNode:
         t = self.eat()

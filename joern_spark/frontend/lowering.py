@@ -98,6 +98,24 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     else:
         tops = parse_c(text)
 
+    # METHOD_REF emission: an identifier in non-call position whose name is a
+    # method defined in this translation unit is a function reference
+    # (function pointers / callbacks). Call positions are already CALL nodes,
+    # so every surviving IDENTIFIER with a method's name qualifies.
+    # (reference: c2cpg AstCreator function-pointer handling feeding
+    # MethodRefLinker.scala:12-29)
+    method_full: dict[str, str] = {}
+    for top in tops:
+        for n in top.walk():
+            if n.kind == "METHOD" and n.name:
+                method_full.setdefault(n.name, n.full_name or n.name)
+    if method_full:
+        for top in tops:
+            for n in top.walk():
+                if n.kind == "IDENTIFIER" and n.name in method_full:
+                    n.kind = "METHOD_REF"
+                    n.full_name = method_full[n.name]
+
     def emit(n: AstNode, parent_id: int | None, method_id: int | None,
              scope_root_id: int | None) -> int:
         nid = next_id(n.pos)

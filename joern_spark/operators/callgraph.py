@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 MAX_HIERARCHY_DEPTH = 20  # bound for the inheritance closure loop
 SMALL_HIERARCHY_LIMIT = 100_000  # driver-side closure below this many edges
+# method-dimension budget for the static-link broadcast join; above it the
+# broadcast would blow the driver/executor memory at cluster scale, so the
+# linker auto-falls-back to the salted shuffle join
+MAX_BROADCAST_METHODS = 2_000_000
 
 
 def _method_dim(nodes: DataFrame) -> DataFrame:
@@ -42,14 +46,19 @@ def _method_dim(nodes: DataFrame) -> DataFrame:
     )
 
 
-def static_call_linker(nodes: DataFrame, strategy: str = "broadcast",
-                       hot_keys: DataFrame | None = None) -> DataFrame:
+def static_call_linker(nodes: DataFrame, strategy: str = "auto",
+                       hot_keys: DataFrame | None = None,
+                       broadcast_budget: int = MAX_BROADCAST_METHODS) -> DataFrame:
     """CALL edges for STATIC_DISPATCH / INLINED calls.
 
     strategy='broadcast' (dim fits → map-side join, no shuffle of the skewed
     fact side) or 'salted' (dim exceeds the broadcast threshold → hot callee
     names like printf/malloc are replicated across salts so no reducer owns
-    a whole hot key; SURVEY.md §4 skew row).
+    a whole hot key; SURVEY.md §4 skew row). The default 'auto' counts the
+    METHOD dimension against ``broadcast_budget`` and picks the strategy —
+    at 100× corpus scale the distinct-method dim (incl. stubs) can exceed
+    any broadcast threshold, and an unconditional broadcast would kill the
+    job rather than degrade it.
     """
     calls = nodes.filter(
         (F.col("kind") == "CALL")
@@ -61,6 +70,10 @@ def static_call_linker(nodes: DataFrame, strategy: str = "broadcast",
         "doc_id", "method_id",
     )
     methods = _method_dim(nodes)
+    if strategy == "auto":
+        # bounded count: stops scanning at budget+1, never a full aggregate
+        n_methods = methods.limit(broadcast_budget + 1).count()
+        strategy = "broadcast" if n_methods <= broadcast_budget else "salted"
     if strategy == "salted":
         from .salting import salted_join
 
@@ -77,6 +90,30 @@ def static_call_linker(nodes: DataFrame, strategy: str = "broadcast",
         F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
         F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
         "doc_id", "method_id",
+    )
+
+
+def method_ref_linker(nodes: DataFrame) -> DataFrame:
+    """REF edges METHOD_REF → METHOD by method full_name.
+
+    Reference: ``x2cpg/.../base/MethodRefLinker.scala:12-29`` (linkToSingle on
+    methodFullNameToNode). The METHOD dim is the same broadcast dictionary the
+    static linker uses; METHOD_REF rows are sparse, so this is a cheap
+    map-side join at any scale.
+    """
+    refs = nodes.filter(F.col("kind") == "METHOD_REF").select(
+        F.col("node_id").alias("ref_id"),
+        F.col("full_name").alias("m_full"),
+        "doc_id", "method_id",
+    )
+    methods = _method_dim(nodes)
+    return (
+        refs.join(F.broadcast(methods), "m_full")
+        .select(
+            F.col("ref_id").alias("src"), F.col("m_id").alias("dst"),
+            F.lit("REF").alias("kind"), F.lit("").alias("variable"),
+            "doc_id", "method_id",
+        )
     )
 
 

@@ -212,8 +212,59 @@ class CfgBuilder:
         if t in ("SWITCH", "MATCH"):
             return self.for_switch(r)
         if t == "TRY":
-            return self.for_children(r)  # simplified: no try fixtures yet
+            return self.for_try(r)
         return Cfg()
+
+    def for_try(self, r) -> Cfg:
+        """CfgCreator.cfgForTryStatement (:492-565): try fringe fans out to
+        every catch entry (and the finally entry); each catch fringe flows to
+        the finally (never to later catches); the result's fringe is the
+        finally's fringe when present, else try+catch fringes."""
+        kids = self.kids(r)
+        catch_cs = [c for c in kids if c["kind"] == "CONTROL_STRUCTURE"
+                    and c["ctrl_type"] in ("CATCH", "ELSE")]
+        finally_cs = [c for c in kids if c["kind"] == "CONTROL_STRUCTURE"
+                      and c["ctrl_type"] == "FINALLY"]
+        try_block = next(
+            (c for c in kids if c["order"] == 1 and self.kids(c)), None
+        )
+        try_cfg = self._maybe(try_block)
+
+        if catch_cs:
+            catch_cfgs = [self.cfg_for(c) for c in catch_cs]
+        else:
+            order2 = [c for c in kids if c["order"] == 2]
+            catch_cfgs = [self.cfg_for(c) for c in order2] or [Cfg()]
+
+        if not catch_cs and not finally_cs:
+            fin_list = [self.cfg_for(c) for c in kids if c["order"] == 3][:1]
+        else:
+            fin_list = [self.cfg_for(c) for c in finally_cs][:1]
+        fin = fin_list[0] if fin_list else None
+
+        edges = []
+        for cc in catch_cfgs:
+            edges += _edges_from_fringe(try_cfg.fringe, cc.entry)
+        if fin is not None:
+            for cc in catch_cfgs:
+                edges += _edges_from_fringe(cc.fringe, fin.entry)
+            edges += _edges_from_fringe(try_cfg.fringe, fin.entry)
+
+        if try_block is None:
+            # empty try: nothing can throw — only the finally runs
+            return fin if fin is not None else Cfg()
+
+        parts = [try_cfg] + catch_cfgs + ([fin] if fin is not None else [])
+        cfg = _merge_meta(*parts)
+        cfg.entry = try_cfg.entry
+        cfg.edges = (edges + try_cfg.edges
+                     + [e for c in catch_cfgs for e in c.edges]
+                     + (fin.edges if fin is not None else []))
+        if fin is not None and fin.entry is not None:
+            cfg.fringe = fin.fringe
+        else:
+            cfg.fringe = try_cfg.fringe + [f for c in catch_cfgs for f in c.fringe]
+        return cfg
 
     def for_break(self, r) -> Cfg:
         first = self.child_by_order(r, 1)

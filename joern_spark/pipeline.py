@@ -34,6 +34,7 @@ from .operators.base_passes import (
 from .operators.callgraph import (
     dynamic_call_linker,
     link_misses,
+    method_ref_linker,
     naive_call_linker,
     static_call_linker,
 )
@@ -132,6 +133,7 @@ def run_pipeline(
         .unionByName(type_ref_pass(types, nodes0))
         .unionByName(eval_type_pass(nodes, types))
         .unionByName(field_access_linker(nodes0, edges0))
+        .unionByName(method_ref_linker(nodes))
         .unionByName(ns_edges)
     )
 

@@ -89,6 +89,13 @@ class Cpg:
     def parameter(self, name: str | None = None) -> "CpgQuery":
         return self._scan("METHOD_PARAMETER_IN", name)
 
+    def method_ref(self, full_name: str | None = None) -> "CpgQuery":
+        """METHOD_REF starter (NodeTypeStarters.methodRef)."""
+        df = self.nodes.filter(F.col("kind") == "METHOD_REF")
+        if full_name is not None:
+            df = df.filter(F.col("full_name").rlike(full_name))
+        return CpgQuery(self, df)
+
     def all(self) -> "CpgQuery":
         return CpgQuery(self, self.nodes)
 

@@ -92,3 +92,5 @@ F4 = "fixtures/c/zoo"
 F5 = "fixtures/java/MethodTest.java"
 F6 = "fixtures/java/Dispatch.java"
 F8 = "fixtures/c/flow_media"
+F9 = "fixtures/c/try"
+F10 = "fixtures/c/fnptr"

@@ -101,3 +101,29 @@ def test_contains_edges_cover_method_body(g):
     owned = set(contains[contains["src"] == method_id]["dst"])
     body = nodes[nodes["kind"].isin(["CALL", "IDENTIFIER", "LITERAL", "RETURN", "BLOCK", "LOCAL"])]
     assert set(body.index) <= owned
+
+
+# ---- struct/enum member declarator regressions -----------------------------
+
+def test_enum_initializer_no_phantom_members():
+    """enum E { A = FOO, B }: FOO is an initializer expression, not a MEMBER
+    (reference TYPE_DECL member semantics, c2cpg AstCreator enum handling)."""
+    from joern_spark.frontend.c_parser import CParser
+
+    members = [
+        n.name
+        for top in CParser("enum E { A = FOO, B = 2, C };").parse_translation_unit()
+        for n in top.walk() if n.kind == "MEMBER"
+    ]
+    assert members == ["A", "B", "C"]
+
+
+def test_struct_member_stars_bind_per_declarator():
+    from joern_spark.frontend.c_parser import CParser
+
+    types = {
+        n.name: n.type_full_name
+        for top in CParser("struct S { int *a, b; int c, *d; };").parse_translation_unit()
+        for n in top.walk() if n.kind == "MEMBER"
+    }
+    assert types == {"a": "int*", "b": "int", "c": "int", "d": "int*"}

@@ -59,3 +59,30 @@ def test_operator_calls_link_to_operator_stubs(g):
     calls = g.calls(F6) + g.calls(F3)
     op = [c for c in calls if c[1].startswith("<operator>")]
     assert all(c[3] for c in op)
+
+
+# ---- METHOD_REF + MethodRefLinker (MethodRefLinker.scala:12-29) ------------
+
+def test_method_ref_emitted_and_linked(cpg, g):
+    from tests.conftest import F10
+
+    nodes = g.doc_nodes(F10)
+    refs = nodes[nodes["kind"] == "METHOD_REF"]
+    # `submit(handler)` uses handler outside call position → one METHOD_REF
+    assert list(refs["full_name"]) == ["handler"]
+    ref_id = refs.index[0]
+    handler = nodes[(nodes["kind"] == "METHOD") & (nodes["name"] == "handler")]
+    assert len(handler) == 1
+    e = g.doc_edges(F10, "REF")
+    linked = e[(e["src"] == ref_id) & (e["dst"] == handler.index[0])]
+    assert len(linked) == 1, "METHOD_REF must REF-link to its METHOD"
+
+
+def test_method_ref_is_call_argument(cpg, g):
+    from tests.conftest import F10
+
+    nodes = g.doc_nodes(F10)
+    ref_id = nodes[nodes["kind"] == "METHOD_REF"].index[0]
+    submit = nodes[(nodes["kind"] == "CALL") & (nodes["name"] == "submit")]
+    e = g.doc_edges(F10, "ARGUMENT")
+    assert len(e[(e["src"] == submit.index[0]) & (e["dst"] == ref_id)]) == 1

@@ -187,3 +187,30 @@ def test_cfg_connectivity_every_method(g):
                     seen.add(nxt)
                     stack.append(nxt)
         assert seen == nodes_with_cfg, f"unreachable CFG nodes in {doc}: {nodes_with_cfg - seen}"
+
+
+# ---- try/catch/finally fan-out (CfgCreationPassTests.scala:515-545) --------
+
+def test_try_single_catch(g):
+    from tests.conftest import F9
+    # try fringe fans out to the catch entry AND (no finally) the method exit
+    assert g.succ_of(F9, "a") == {"b", "RET"}
+    assert g.succ_of(F9, "b") == {"RET"}
+    assert g.succ_of(F9, "int try1()") == {"a"}
+
+
+def test_try_multiple_catches(g):
+    from tests.conftest import F9
+    # try body → every catch entry + exit; catches flow only to the exit
+    assert g.succ_of(F9, "c") == {"d", "e", "f", "RET"}
+    assert g.succ_of(F9, "d") == {"RET"}
+    assert g.succ_of(F9, "e") == {"RET"}
+    assert g.succ_of(F9, "f") == {"RET"}
+
+
+def test_try_catch_finally(g):
+    from tests.conftest import F9
+    # with a finally: try → catch + finally; catch → finally (never the exit)
+    assert g.succ_of(F9, "g") == {"h", "i"}
+    assert g.succ_of(F9, "h") == {"i"}
+    assert g.succ_of(F9, "i") == {"RET"}
