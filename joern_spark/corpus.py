@@ -60,6 +60,22 @@ class UseIt { int g(A a) { return a.f(); } }"""
 F10_FNPTR_C = """void handler(int e) { printf(e); }
 void reg() { submit(handler); }"""
 
+F12_MACRO_C = """#define LIMIT 42
+#define SQR(x) ((x) * (x))
+int mac() {
+  int n = LIMIT;
+  int m = SQR(n);
+  return m;
+}"""
+
+F11_HINT_JAVA = """class Impl { int f() { return 1; } }
+class UseDyn {
+  int g() {
+    Object h = new Impl();
+    return h.f();
+  }
+}"""
+
 F9_TRY_CPP = """int try1() { try { a; } catch (int x) { b; } }
 int try3() {
   try { c; } catch (short u) { d; } catch (int v) { e; } catch (long w) { f; }
@@ -117,6 +133,10 @@ def fixture_docs() -> list[dict]:
         {"doc_id": "fixtures/c/try", "spans": split_code_spans(F9_TRY_CPP, 2)},
         # F10: function reference outside call position (MethodRefLinker)
         {"doc_id": "fixtures/c/fnptr", "spans": split_code_spans(F10_FNPTR_C, 1)},
+        # F11: dynamic receiver resolvable only via recovered type hints
+        {"doc_id": "fixtures/java/Hint.java", "spans": split_code_spans(F11_HINT_JAVA, 2)},
+        # F12: fork-specific macro model (MACRO_DECL / MACRO_REF)
+        {"doc_id": "fixtures/c/macro", "spans": split_code_spans(F12_MACRO_C, 2)},
     ]
     return docs
 

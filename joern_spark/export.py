@@ -44,7 +44,8 @@ def method_subgraphs(nodes: DataFrame, edges: DataFrame,
     n = nodes.filter(F.col("method_id").isNotNull()).select(
         "node_id", "kind", "code", "doc_id", "method_id"
     )
-    render = {"dot": _dot, "graphml": _graphml, "json": _json_graph}[fmt]
+    render = {"dot": _dot, "graphml": _graphml, "json": _json_graph,
+              "graphson": _graphson}[fmt]
 
     def kernel(key, node_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
         node_rows = node_pdf.to_dict("records")
@@ -105,6 +106,49 @@ def _json_graph(node_rows, edge_rows, name: str) -> str:
             {"src": e["src"], "dst": e["dst"], "kind": e["kind"]} for e in edge_rows
         ],
     }, sort_keys=True)
+
+
+def _graphson(node_rows, edge_rows, name: str) -> str:
+    """TinkerPop GraphSON 3.0 typed graph (JoernExport.Format.Graphson)."""
+
+    def g_long(v):
+        return {"@type": "g:Int64", "@value": int(v)}
+
+    vertices = [
+        {
+            "@type": "g:Vertex",
+            "@value": {
+                "id": g_long(r["node_id"]),
+                "label": r["kind"],
+                "properties": {
+                    "code": [{
+                        "@type": "g:VertexProperty",
+                        "@value": {"id": g_long(r["node_id"]),
+                                   "label": "code",
+                                   "value": (r.get("code") or "")},
+                    }]
+                },
+            },
+        }
+        for r in node_rows
+    ]
+    gedges = [
+        {
+            "@type": "g:Edge",
+            "@value": {
+                "id": g_long(i),
+                "label": e["kind"],
+                "outV": g_long(e["src"]),
+                "inV": g_long(e["dst"]),
+            },
+        }
+        for i, e in enumerate(edge_rows)
+    ]
+    return json.dumps(
+        {"@type": "tinker:graph",
+         "@value": {"vertices": vertices, "edges": gedges}},
+        sort_keys=True,
+    )
 
 
 def neo4j_csv(nodes: DataFrame, edges: DataFrame):

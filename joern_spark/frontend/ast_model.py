@@ -99,6 +99,9 @@ UNARY_OPERATOR_NAMES = {
 }
 
 OP_CONDITIONAL = "<operator>.conditional"
+OP_ELVIS = "<operator>.elvis"
+OP_DELETE = "<operator>.delete"
+OP_ARRAY_NEW = "<operator>.arrayNew"
 OP_FIELD_ACCESS = "<operator>.fieldAccess"
 OP_INDIRECT_FIELD_ACCESS = "<operator>.indirectFieldAccess"
 OP_INDEX_ACCESS = "<operator>.indexAccess"

@@ -18,6 +18,8 @@ from .ast_model import (
     ASSIGNMENT_OPERATOR_NAMES,
     BINARY_OPERATOR_NAMES,
     OP_CONDITIONAL,
+    OP_DELETE,
+    OP_ELVIS,
     OP_FIELD_ACCESS,
     OP_INDEX_ACCESS,
     OP_INDIRECT_FIELD_ACCESS,
@@ -339,6 +341,19 @@ class CParser:
                 return [self.parse_return()]
             if kw == "try":
                 return [self.parse_try()]
+            if kw == "delete":
+                # C++ delete / delete[] → Operators.delete call statement
+                self.eat()
+                if self.at("["):
+                    self.eat()
+                    self.accept("]")
+                expr = self.parse_expr()
+                self.accept(";")
+                call = operator_call(OP_DELETE, "", t.pos, t.line)
+                if expr is not None:
+                    call.add(expr, order=1, argument_index=1)
+                call.code = self.slice(t.pos)
+                return [call]
             if kw == "throw":
                 # javasrc2cpg: ThrowStmt → CONTROL_STRUCTURE THROW (CFG-empty,
                 # matching CfgCreator's default case)
@@ -636,6 +651,16 @@ class CParser:
             return None
         if self.at("?"):
             self.eat()
+            if self.at(":"):
+                # Kotlin/Groovy-style elvis `a ?: b` (Operators.elvis)
+                self.eat()
+                els = self.parse_conditional()
+                call = operator_call(OP_ELVIS, "", start.pos, start.line)
+                call.add(cond, order=1, argument_index=1)
+                if els is not None:
+                    call.add(els, order=2, argument_index=2)
+                call.code = self.text[start.pos:self._prev_end()].strip()
+                return call
             then = self.parse_assignment_expr()
             self.expect(":")
             els = self.parse_conditional()

@@ -218,6 +218,23 @@ class JavaParser(CParser):
         t = self.peek()
         if t is not None and t.text == "new":
             self.eat()
+            if (self.peek() is not None and self.peek().kind in ("kw", "ident")
+                    and self.at("[", 1)):
+                # `new T[n]` → Operators.arrayNew (allAllocTypes member);
+                # bypass parse_type (it would greedily eat the [n] suffix)
+                from .ast_model import OP_ARRAY_NEW
+
+                cls = self.eat().text
+                self.eat()
+                size = None if self.at("]") else self.parse_expr()
+                self.accept("]")
+                call = AstNode(kind="CALL", name=OP_ARRAY_NEW,
+                               full_name=OP_ARRAY_NEW, dispatch_type=STATIC_DISPATCH,
+                               type_full_name=f"{cls}[]", pos=t.pos, line=t.line)
+                if size is not None:
+                    call.add(size, order=1, argument_index=1)
+                call.code = self.text[t.pos:self._prev_end()].strip()
+                return call
             cls = self.parse_type() or (self.eat().text if self.at_kind("ident") else "ANY")
             call = AstNode(kind="CALL", name="<init>",
                            full_name=f"{cls}.<init>", code="",

@@ -21,6 +21,12 @@ from .ast_model import AstNode
 from .c_parser import parse_c
 
 _JAVA_HINT = re.compile(r"\bclass\s+\w+|\bpublic\s+class\b|\binterface\s+\w+")
+# fork-specific macro model (NodeTypeStarters.scala:180-190): the tokenizer
+# drops preprocessor lines, so #define declarations are lifted here
+_DEFINE_RE = re.compile(
+    r"^[ \t]*#[ \t]*define[ \t]+([A-Za-z_]\w*)(\([^)\n]*\))?[ \t]*([^\n]*)$",
+    re.M,
+)
 
 # node kinds that own CONTAINS scopes (reference ContainsEdgePass.scala:20-28)
 _CONTAINS_ROOTS = {"METHOD", "TYPE_DECL", "FILE"}
@@ -97,6 +103,27 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
         tops = parse_java(text)
     else:
         tops = parse_c(text)
+
+    # MACRO_DECL emission + MACRO_REF conversion: object-like macro uses are
+    # parsed as identifiers — retag them MACRO_REF; function-like macro call
+    # sites stay CALLs and are REF-linked by macro_ref_linker on (doc, name)
+    macro_tops: list[AstNode] = []
+    macro_names: set[str] = set()
+    for m in _DEFINE_RE.finditer(text):
+        macro_names.add(m.group(1))
+        macro_tops.append(AstNode(
+            kind="MACRO_DECL", name=m.group(1), full_name=m.group(1),
+            code=m.group(0).strip(), pos=m.start(),
+            line=text.count("\n", 0, m.start()) + 1,
+            signature=(m.group(2) or ""),
+        ))
+    if macro_names:
+        for top in tops:
+            for n in top.walk():
+                if n.kind == "IDENTIFIER" and n.name in macro_names:
+                    n.kind = "MACRO_REF"
+                    n.full_name = n.name
+    tops = macro_tops + tops
 
     # METHOD_REF emission: an identifier in non-call position whose name is a
     # method defined in this translation unit is a function reference

@@ -16,6 +16,8 @@ KEYWORDS = {
     "protected", "final", "abstract", "new", "this", "super", "boolean",
     "byte", "String", "null", "true", "false", "try", "catch", "finally",
     "throw", "throws", "import", "package", "instanceof",
+    # C++ subset
+    "delete",
 }
 
 TYPE_KEYWORDS = {

@@ -193,6 +193,29 @@ def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
     return stub_nodes, stub_edges
 
 
+def macro_ref_linker(nodes: DataFrame) -> DataFrame:
+    """REF edges: MACRO_REF (object-like use) and CALL (function-like use) →
+    same-document MACRO_DECL, keyed on (doc_id, name). Fork-specific node
+    kinds (NodeTypeStarters.scala:180-190); macros are file-scoped in this
+    model, so the join is doc-co-located — no cross-partition shuffle when
+    nodes are partitioned by doc."""
+    decls = nodes.filter(F.col("kind") == "MACRO_DECL").select(
+        "doc_id", F.col("name").alias("m_name"), F.col("node_id").alias("decl_id")
+    )
+    refs = nodes.filter(F.col("kind").isin("MACRO_REF", "CALL")).select(
+        F.col("node_id").alias("ref_id"), "doc_id",
+        F.col("name").alias("m_name"), "method_id",
+    )
+    return (
+        refs.join(decls, ["doc_id", "m_name"])
+        .select(
+            F.col("ref_id").alias("src"), F.col("decl_id").alias("dst"),
+            F.lit("REF").alias("kind"), F.lit("").alias("variable"),
+            "doc_id", "method_id",
+        )
+    )
+
+
 def parameter_out_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """MethodDecoratorPass: synthesize METHOD_PARAMETER_OUT per PARAMETER_IN
     + AST (method→paramOut) and PARAMETER_LINK (paramIn→paramOut) edges.

@@ -276,6 +276,28 @@ def naive_call_linker(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
     )
 
 
+def prefer_internal_call_edges(call_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Drop a call's external-stub CALL edges when it also resolved to an
+    internal method (DynamicCallLinker.scala:187-196 pruning, applied across
+    all linkers so a recovered-hint resolution supersedes a stub link)."""
+    from pyspark.sql import Window as W
+
+    meth = nodes.filter(F.col("kind") == "METHOD").select(
+        F.col("node_id").alias("dst"), F.col("is_external").alias("m_ext")
+    )
+    joined = call_edges.join(meth, "dst", "left")
+    w = W.partitionBy("src")
+    return (
+        joined.withColumn(
+            "has_internal",
+            F.max(F.when(~F.coalesce(F.col("m_ext"), F.lit(True)), 1).otherwise(0)).over(w),
+        )
+        .filter((F.col("has_internal") == 0)
+                | (~F.coalesce(F.col("m_ext"), F.lit(True))))
+        .select(*call_edges.columns)
+    )
+
+
 def link_misses(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
     """Side output: calls that no linker resolved (LinkingUtil.scala:142-154)."""
     calls = nodes.filter(F.col("kind") == "CALL").select(

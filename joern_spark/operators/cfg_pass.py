@@ -33,7 +33,7 @@ _EMPTY_KINDS = {
     "LOCAL", "TYPE_DECL", "MEMBER", "FILE", "NAMESPACE", "NAMESPACE_BLOCK",
     "JUMP_LABEL", "COMMENT", "IMPORT",
 }
-_SINGLE_KINDS = {"METHOD_REF", "TYPE_REF", "METHOD_RETURN"}
+_SINGLE_KINDS = {"METHOD_REF", "TYPE_REF", "METHOD_RETURN", "MACRO_REF"}
 _LEAFY_KINDS = {"CALL", "FIELD_IDENTIFIER", "IDENTIFIER", "LITERAL", "UNKNOWN"}
 
 

@@ -24,6 +24,7 @@ from .lineage import append_lineage, read_manifest, write_manifest
 from .operators.ast_pass import parse_docs, split_rows
 from .operators.base_passes import (
     eval_type_pass,
+    macro_ref_linker,
     method_stubs,
     namespace_pass,
     parameter_out_pass,
@@ -119,21 +120,30 @@ def run_pipeline(
                        "base_nodes", t1)
         write_manifest(out_dir, "base", list(range(n_parts)), complete=True)
     else:
-        # eager barrier: the union concatenates 5×n_parts partitions and has
-        # many downstream consumers (linkers, kernels, triples). Without
-        # materializing first, concurrent broadcast jobs race to compute the
-        # cache and re-run the whole parse+stub chain several times over.
-        nodes = nodes.repartition(n_parts).persist()
-        nodes.count()
+        # eager barrier + LINEAGE TRUNCATION: the union concatenates
+        # 5×n_parts partitions and has many downstream consumers (linkers,
+        # kernels, triples). Without materializing first, concurrent
+        # broadcast jobs race to compute the cache and re-run the whole
+        # parse+stub chain several times over; and without truncation the
+        # downstream logical plans embed this plan dozens of times — the
+        # recovery/linker rounds then grow plans until Catalyst's plan
+        # *stringification* alone OOMs the driver.
+        nodes = nodes.repartition(n_parts).localCheckpoint(eager=True)
 
-    from .operators.type_recovery import field_access_linker
+    from .operators.type_recovery import (
+        field_access_linker,
+        type_hint_call_linker,
+        type_recovery_events,
+    )
 
+    recovered = type_recovery_events(nodes0)
     base_edges = (
         edges0.unionByName(m_stub_edges).unionByName(param_edges)
         .unionByName(type_ref_pass(types, nodes0))
         .unionByName(eval_type_pass(nodes, types))
-        .unionByName(field_access_linker(nodes0, edges0))
+        .unionByName(field_access_linker(nodes0, edges0, recovered=recovered))
         .unionByName(method_ref_linker(nodes))
+        .unionByName(macro_ref_linker(nodes0))
         .unionByName(ns_edges)
     )
 
@@ -164,9 +174,21 @@ def run_pipeline(
                 dominator_pass(nodes0, kernel_edges))
 
     # ---- stage: callgraph ----------------------------------------------------
-    call_edges = static_call_linker(nodes)
-    call_edges = call_edges.unionByName(dynamic_call_linker(nodes, base_edges))
-    call_edges = call_edges.unionByName(naive_call_linker(nodes, call_edges))
+    from .operators.callgraph import prefer_internal_call_edges
+
+    static_edges = static_call_linker(nodes)
+    # recovered-hint linking runs after CHA (it targets calls CHA could not
+    # resolve) and before the naive name-only fallback
+    ambiguous = dynamic_call_linker(nodes, base_edges)
+    ambiguous = ambiguous.unionByName(type_hint_call_linker(
+        nodes0, edges0, static_edges.unionByName(ambiguous), recovered=recovered))
+    ambiguous = ambiguous.unionByName(
+        naive_call_linker(nodes, static_edges.unionByName(ambiguous)))
+    # prefer-internal pruning only over the ambiguous linkers' output: static
+    # links resolve by full_name (unambiguous), and windowing the static bulk
+    # (every printf/malloc site) would add a full shuffle for nothing
+    call_edges = static_edges.unionByName(
+        prefer_internal_call_edges(ambiguous, nodes))
 
     edges = base_edges.unionByName(kernel_edges).unionByName(call_edges)
 
@@ -179,9 +201,10 @@ def run_pipeline(
                        stage_name, t2)
     else:
         # no repartition: compacting ~9M wide edge rows costs a full shuffle,
-        # while the extra union partitions only cost task-scheduling overhead
-        edges = edges.persist()
-        edges.count()
+        # while the extra union partitions only cost task-scheduling overhead.
+        # localCheckpoint (not persist): truncates the edge plan so every
+        # downstream consumer (triples, DSL, flows) starts from a leaf.
+        edges = edges.localCheckpoint(eager=True)
 
     # ---- stage: dataflow (non-fused fallback only) ---------------------------
     if with_dataflow and not rd_fused:

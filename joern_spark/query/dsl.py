@@ -96,6 +96,14 @@ class Cpg:
             df = df.filter(F.col("full_name").rlike(full_name))
         return CpgQuery(self, df)
 
+    def macro_decl(self, name: str | None = None) -> "CpgQuery":
+        """MACRO_DECL starter (fork NodeTypeStarters.macroDecl, :180-185)."""
+        return self._scan("MACRO_DECL", name)
+
+    def macro_ref(self, name: str | None = None) -> "CpgQuery":
+        """MACRO_REF starter (fork NodeTypeStarters.macroRef, :186-190)."""
+        return self._scan("MACRO_REF", name)
+
     def all(self) -> "CpgQuery":
         return CpgQuery(self, self.nodes)
 

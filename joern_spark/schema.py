@@ -18,6 +18,8 @@ NODE_KINDS = [
     "FIELD_IDENTIFIER", "LITERAL", "LOCAL", "RETURN", "CONTROL_STRUCTURE",
     "JUMP_TARGET", "JUMP_LABEL", "MODIFIER", "COMMENT", "UNKNOWN", "TYPE_REF",
     "IMPORT",
+    # fork-specific kinds (NodeTypeStarters.scala:180-190)
+    "MACRO_DECL", "MACRO_REF",
 ]
 
 # Edge kinds in scope (reference: Ast.scala:25-52 + pass outputs, SURVEY.md §1.1)

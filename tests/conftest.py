@@ -18,7 +18,12 @@ from joern_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="joern_spark_tests", cpus=8, shuffle_partitions=8)
+    # 20g heap: the session accumulates pipeline caches, localCheckpoint
+    # blocks (flow stitching), and broadcasts across every test module — the
+    # 8g default dies mid-suite under host memory pressure
+    s = get_spark(app_name="joern_spark_tests", cpus=8, shuffle_partitions=8,
+                  extra_conf={"spark.driver.memory": "20g",
+                              "spark.ui.showConsoleProgress": "false"})
     yield s
 
 
@@ -94,3 +99,5 @@ F6 = "fixtures/java/Dispatch.java"
 F8 = "fixtures/c/flow_media"
 F9 = "fixtures/c/try"
 F10 = "fixtures/c/fnptr"
+F11 = "fixtures/java/Hint.java"
+F12 = "fixtures/c/macro"

@@ -127,3 +127,47 @@ def test_struct_member_stars_bind_per_declarator():
         for n in top.walk() if n.kind == "MEMBER"
     }
     assert types == {"a": "int*", "b": "int", "c": "int", "d": "int*"}
+
+
+def test_extended_operator_vocabulary():
+    """delete / elvis (C side) and arrayNew (Java side) — operatorextension
+    taxonomy members (package.scala allAllocTypes etc.)."""
+    from joern_spark.frontend.c_parser import CParser
+    from joern_spark.frontend.java_parser import JavaParser
+
+    c_ops = [
+        n.name
+        for top in CParser(
+            "void f() { delete p; int y = a ?: b; }").parse_translation_unit()
+        for n in top.walk() if n.kind == "CALL"
+    ]
+    assert "<operator>.delete" in c_ops
+    assert "<operator>.elvis" in c_ops
+
+    j = [
+        (n.name, n.type_full_name)
+        for top in JavaParser(
+            "class K { int[] mk() { int[] xs = new int[5]; return xs; } }"
+        ).parse_translation_unit()
+        for n in top.walk() if n.kind == "CALL"
+    ]
+    assert ("<operator>.arrayNew", "int[]") in j
+
+
+def test_macro_decl_and_refs(cpg, g):
+    """Fork macro model: #define → MACRO_DECL; object-like use → MACRO_REF
+    with a REF edge; function-like call site REF-links to its MACRO_DECL."""
+    from tests.conftest import F12
+
+    nodes = g.doc_nodes(F12)
+    decls = nodes[nodes["kind"] == "MACRO_DECL"]
+    assert sorted(decls["name"]) == ["LIMIT", "SQR"]
+    refs = nodes[nodes["kind"] == "MACRO_REF"]
+    assert list(refs["name"]) == ["LIMIT"]
+    e = g.doc_edges(F12, "REF")
+    limit_decl = decls[decls["name"] == "LIMIT"].index[0]
+    sqr_decl = decls[decls["name"] == "SQR"].index[0]
+    assert len(e[(e["src"] == refs.index[0]) & (e["dst"] == limit_decl)]) == 1
+    sqr_call = nodes[(nodes["kind"] == "CALL") & (nodes["name"] == "SQR")]
+    assert len(sqr_call) == 1
+    assert len(e[(e["src"] == sqr_call.index[0]) & (e["dst"] == sqr_decl)]) == 1

@@ -78,3 +78,45 @@ def test_scan_bundle(cpg):
 def test_scan_finding_rows_resolve(cpg):
     findings = run_scan(cpg.nodes, cpg.edges)
     assert findings.filter(F.col("doc_id").isNull()).count() == 0
+
+
+# ---- GraphSON + slicing sinks ----------------------------------------------
+
+def test_graphson_export(cpg):
+    import json
+
+    from joern_spark.export import method_subgraphs
+
+    rows = method_subgraphs(cpg.nodes, cpg.edges, "AST", "graphson").limit(3).collect()
+    assert rows
+    for r in rows:
+        g = json.loads(r["text"])
+        assert g["@type"] == "tinker:graph"
+        vs, es = g["@value"]["vertices"], g["@value"]["edges"]
+        assert vs and all(v["@type"] == "g:Vertex" for v in vs)
+        for e in es:
+            assert e["@value"]["outV"]["@type"] == "g:Int64"
+
+
+def test_data_flow_slice(cpg):
+    from joern_spark.slicing import data_flow_slice
+
+    sn, se = data_flow_slice(cpg.nodes, cpg.edges, slice_depth=8)
+    n = sn.count()
+    assert n > 0
+    # every slice edge endpoint is a slice node
+    ids = {r["node_id"] for r in sn.select("node_id").collect()}
+    for r in se.collect():
+        assert r["src"] in ids and r["dst"] in ids
+
+
+def test_usage_slices(cpg):
+    from joern_spark.slicing import usage_slices
+    from tests.conftest import F2
+
+    rows = usage_slices(cpg.nodes, cpg.edges).collect()
+    by_var = {(r["method_full_name"], r["var_name"]): r for r in rows}
+    # free_list's p: defined by head (for-init), passed to free()
+    p = by_var.get(("free_list", "p"))
+    assert p is not None
+    assert "free" in p["arg_to_calls"]

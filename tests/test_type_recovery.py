@@ -129,3 +129,58 @@ def test_no_cross_class_false_links(graph):
     got = refs.join(member_class, "dst")
     assert {r["c_full"] for r in got.collect()} == {"Point"}
     assert got.count() == refs.count()
+
+
+# ---- XTypeRecovery full rules + XTypeHintCallLinker ------------------------
+
+def test_alloc_type_recovered_through_object_declaration(cpg, g):
+    """Object h = new Impl(): h's identifiers recover Impl, not Object."""
+    from tests.conftest import F11
+    from pyspark.sql import functions as F
+
+    from joern_spark.operators.type_recovery import type_recovery_pass
+
+    rec = type_recovery_pass(cpg.nodes).toPandas().set_index("node_id")
+    nodes = g.doc_nodes(F11)
+    hs = nodes[(nodes["kind"] == "IDENTIFIER") & (nodes["name"] == "h")]
+    got = {rec.loc[i, "recovered_type"] for i in hs.index if i in rec.index}
+    assert "Impl" in got
+
+
+def test_hint_linker_resolves_dynamic_call(cpg, g):
+    """h.f() (receiver declared Object) links to exactly Impl.f via the
+    recovered hint — CHA can't resolve it, and naive must not multi-link."""
+    from tests.conftest import F11
+
+    nodes = g.doc_nodes(F11)
+    call = nodes[(nodes["kind"] == "CALL") & (nodes["name"] == "f")]
+    assert len(call) == 1
+    e = g.doc_edges(F11, "CALL")
+    dsts = list(e[e["src"] == call.index[0]]["dst"])
+    assert len(dsts) == 1
+    callee = g.nodes.loc[dsts[0]]
+    assert callee["full_name"] == "Impl.f"
+
+
+def test_call_return_type_propagates(spark):
+    """x = maker() recovers maker's METHOD_RETURN type for x."""
+    from pyspark.sql import functions as F
+
+    from joern_spark.corpus import docs_df, split_code_spans
+    from joern_spark.operators.type_recovery import type_recovery_pass
+    from joern_spark.pipeline import run_pipeline
+
+    src = """class Maker {
+  Impl maker() { return new Impl(); }
+  int use() { Object x = maker(); return 0; }
+}
+class Impl { int f() { return 2; } }"""
+    docs = docs_df(spark, [{"doc_id": "t/ret.java",
+                            "spans": split_code_spans(src, 1)}])
+    res = run_pipeline(spark, docs, n_parts=2, with_dataflow=False,
+                       with_dominators=False)
+    rec = type_recovery_pass(res.nodes).toPandas().set_index("node_id")
+    nodes = res.nodes.toPandas().set_index("node_id")
+    xs = nodes[(nodes["kind"] == "IDENTIFIER") & (nodes["name"] == "x")]
+    got = {rec.loc[i, "recovered_type"] for i in xs.index if i in rec.index}
+    assert "Impl" in got
