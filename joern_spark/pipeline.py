@@ -136,7 +136,10 @@ def run_pipeline(
         type_recovery_events,
     )
 
-    recovered = type_recovery_events(nodes0)
+    # materialize once: the recovery hints feed BOTH field_access_linker and
+    # the hint call linker — two plan branches that would each re-run the
+    # multi-shuffle recovery rounds; the output is small (2 columns)
+    recovered = type_recovery_events(nodes0).localCheckpoint(eager=True)
     base_edges = (
         edges0.unionByName(m_stub_edges).unionByName(param_edges)
         .unionByName(type_ref_pass(types, nodes0))

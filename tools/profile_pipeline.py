@@ -87,7 +87,7 @@ def main() -> None:
     nodes.count()
     t = mark("nodes_union", t)
 
-    recovered = type_recovery_events(nodes0)
+    recovered = type_recovery_events(nodes0).localCheckpoint(eager=True)
     base_edges = (
         edges0.unionByName(m_stub_edges).unionByName(param_edges)
         .unionByName(type_ref_pass(types, nodes0))

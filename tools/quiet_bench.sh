@@ -7,14 +7,13 @@ cd "$(dirname "$0")/.."
 ITER=${1:-6}
 LOADMAX=${2:-6}
 OUT=bench_runs.jsonl
+REP=${REP:-8}
+PAIR_N=${PAIR_N:-8}   # the official gate pair is 8→32
 for i in $(seq "$ITER"); do
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
   if python -c "import sys; sys.exit(0 if float('$LOAD') < $LOADMAX else 1)"; then
-    # alternate the N/4N pair: 8→32 uses the whole box (best absolute tps),
-    # 2→8 leaves headroom so neighbor bursts hit both runs equally
-    if [ $((i % 2)) -eq 0 ]; then PAIR_N=2; else PAIR_N=8; fi
-    echo "iter $i: load $LOAD — running pair N=$PAIR_N" >&2
-    REP=8 N=$PAIR_N bash tools/submit_scaling.sh | tail -3 >> "$OUT"
+    echo "iter $i: load $LOAD — running pair N=$PAIR_N REP=$REP" >&2
+    REP=$REP N=$PAIR_N bash tools/submit_scaling.sh | tail -3 >> "$OUT"
     echo "---" >> "$OUT"
   else
     echo "iter $i: load $LOAD — too busy, sleeping" >&2
