@@ -35,7 +35,7 @@ from .dominators import dominator_edges_for_method
 from .reaching_def import reaching_def_edges_for_method
 
 MAX_BROADCAST_NAMES = 2_000_000
-_YIELD_EVERY = 2000  # methods per output frame
+_YIELD_EVERY = 50_000  # output edge rows per yielded Arrow frame
 
 
 def internal_method_names(nodes: DataFrame) -> set[str] | None:
@@ -81,42 +81,64 @@ def fused_method_kernels(
     names_local = internal_names  # closure-captured; Spark broadcasts the task
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        by_method: dict[int, list[dict]] = defaultdict(list)
+        # STREAMING group-by: a document's rows are contiguous in the parse
+        # output (one parse call emits the whole doc, and this pass sits
+        # shuffle-free on top of it), so methods complete at doc boundaries.
+        # Peak memory = one document + the output buffer — O(doc), not
+        # O(partition) — restoring Arrow streaming semantics. A reappearing
+        # doc_id would mean the contiguity assumption broke: fail loudly.
+        out_rows: list[dict] = []
+
+        def process(buf: dict[int, list[dict]]) -> None:
+            for mid, rows in buf.items():
+                doc_id = rows[0]["doc_id"]
+
+                def emit(s, d, kind, var=""):
+                    out_rows.append({
+                        "src": s, "dst": d, "kind": kind, "variable": var,
+                        "doc_id": doc_id, "method_id": mid,
+                    })
+
+                cfg = cfg_edges_for_method(rows)
+                for s, d in cfg:
+                    emit(s, d, "CFG")
+                if with_dominators and cfg:
+                    for s, d, k in dominator_edges_for_method(rows, cfg):
+                        emit(s, d, k)
+                if with_dataflow and cfg:
+                    krows = rows + _synth_param_outs(rows)
+                    for r in krows:
+                        if r["kind"] == "CALL":
+                            r["callee_internal"] = (
+                                True if r["full_name"] in names_local else None
+                            )
+                    for s, d, v in reaching_def_edges_for_method(krows, cfg):
+                        emit(s, d, "REACHING_DEF", v)
+
+        buf: dict[int, list[dict]] = defaultdict(list)
+        cur_doc: str | None = None
+        seen_docs: set[str] = set()
         for pdf in batches:
             for r in pdf.to_dict("records"):
-                by_method[r["method_id"]].append(r)
-
-        out_rows: list[dict] = []
-        n_done = 0
-        for mid, rows in by_method.items():
-            doc_id = rows[0]["doc_id"]
-
-            def emit(s, d, kind, var=""):
-                out_rows.append({
-                    "src": s, "dst": d, "kind": kind, "variable": var,
-                    "doc_id": doc_id, "method_id": mid,
-                })
-
-            cfg = cfg_edges_for_method(rows)
-            for s, d in cfg:
-                emit(s, d, "CFG")
-            if with_dominators and cfg:
-                for s, d, k in dominator_edges_for_method(rows, cfg):
-                    emit(s, d, k)
-            if with_dataflow and cfg:
-                krows = rows + _synth_param_outs(rows)
-                for r in krows:
-                    if r["kind"] == "CALL":
-                        r["callee_internal"] = (
-                            True if r["full_name"] in names_local else None
-                        )
-                for s, d, v in reaching_def_edges_for_method(krows, cfg):
-                    emit(s, d, "REACHING_DEF", v)
-            n_done += 1
-            if n_done % _YIELD_EVERY == 0 and out_rows:
-                yield pd.DataFrame(out_rows, columns=[
-                    "src", "dst", "kind", "variable", "doc_id", "method_id"])
-                out_rows = []
+                d = r["doc_id"]
+                if d != cur_doc:
+                    if cur_doc is not None:
+                        process(buf)
+                        buf = defaultdict(list)
+                        if len(out_rows) >= _YIELD_EVERY:
+                            yield pd.DataFrame(out_rows, columns=[
+                                "src", "dst", "kind", "variable", "doc_id",
+                                "method_id"])
+                            out_rows = []
+                    if d in seen_docs:
+                        raise ValueError(
+                            f"non-contiguous rows for doc {d!r}: fused kernel "
+                            "requires the unshuffled parse output (use the "
+                            "cogrouped per-pass path instead)")
+                    seen_docs.add(d)
+                    cur_doc = d
+                buf[r["method_id"]].append(r)
+        process(buf)
         yield pd.DataFrame(out_rows, columns=[
             "src", "dst", "kind", "variable", "doc_id", "method_id"])
 

@@ -14,7 +14,7 @@ run() {
   spark-submit --master "local[$1]" --py-files $ZIP \
     --conf spark.sql.shuffle.partitions=$1 \
     --conf spark.ui.enabled=false \
-    --driver-memory 16g \
+    --driver-memory 48g \
     jobs/run_triple_factory.py --sf-dir "$SF_DIR" --replicate "$REP" --n-parts "$1" \
     2>/dev/null | tail -1
 }
