@@ -128,7 +128,11 @@ def run_pipeline(
         # downstream logical plans embed this plan dozens of times — the
         # recovery/linker rounds then grow plans until Catalyst's plan
         # *stringification* alone OOMs the driver.
-        nodes = nodes.repartition(n_parts).localCheckpoint(eager=True)
+        # no repartition: compacting the 5-way union costs a full shuffle of
+        # every wide node row and bought nothing downstream (the linkers
+        # broadcast their dims; the kernels read the parse output directly) —
+        # the extra union partitions are only task-scheduling overhead
+        nodes = nodes.localCheckpoint(eager=True)
 
     from .operators.type_recovery import (
         field_access_linker,
@@ -138,8 +142,23 @@ def run_pipeline(
 
     # materialize once: the recovery hints feed BOTH field_access_linker and
     # the hint call linker — two plan branches that would each re-run the
-    # multi-shuffle recovery rounds; the output is small (2 columns)
-    recovered = type_recovery_events(nodes0).localCheckpoint(eager=True)
+    # multi-shuffle recovery rounds; the output is small (2 columns).
+    # OVERLAP with the internal-method dictionary collect below: both are
+    # independent jobs over already-materialized inputs, and running them on
+    # the driver sequentially added their latencies to the serial fraction —
+    # Spark schedules concurrent jobs from separate submitter threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .operators.method_kernels import internal_method_names
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        recovered_f = pool.submit(
+            lambda: type_recovery_events(nodes0).localCheckpoint(eager=True))
+        names_f = pool.submit(
+            lambda: internal_method_names(nodes)
+            if fuse_kernels is not False else None)
+        recovered = recovered_f.result()
+        internal_names = names_f.result()
     base_edges = (
         edges0.unionByName(m_stub_edges).unionByName(param_edges)
         .unionByName(type_ref_pass(types, nodes0))
@@ -156,9 +175,8 @@ def run_pipeline(
     # the internal-method dictionary broadcast (method_kernels.py). Falls
     # back to the cogrouped per-pass implementations when the dictionary
     # exceeds the broadcast budget.
-    from .operators.method_kernels import fused_method_kernels, internal_method_names
+    from .operators.method_kernels import fused_method_kernels
 
-    internal_names = internal_method_names(nodes0) if fuse_kernels is not False else None
     fused = internal_names is not None
     rd_fused = fused and with_dataflow
     if fused:

@@ -83,8 +83,7 @@ def main() -> None:
         nodes0.unionByName(types).unionByName(decl_stubs)
         .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
     )
-    nodes = nodes.repartition(n_parts).persist()
-    nodes.count()
+    nodes = nodes.localCheckpoint(eager=True)
     t = mark("nodes_union", t)
 
     recovered = type_recovery_events(nodes0).localCheckpoint(eager=True)
@@ -98,7 +97,7 @@ def main() -> None:
         .unionByName(ns_edges)
     )
 
-    internal_names = internal_method_names(nodes0)
+    internal_names = internal_method_names(nodes)
     t = mark("internal_names_dict", t)
     kernel_edges = fused_method_kernels(nodes0, internal_names,
                                         with_dominators=True, with_dataflow=True)
