@@ -27,6 +27,9 @@ _DEFINE_RE = re.compile(
     r"^[ \t]*#[ \t]*define[ \t]+([A-Za-z_]\w*)(\([^)\n]*\))?[ \t]*([^\n]*)$",
     re.M,
 )
+_INCLUDE_RE = re.compile(
+    r"^[ \t]*#[ \t]*include[ \t]+[<\"]([^>\"\n]+)[>\"]", re.M,
+)
 
 # node kinds that own CONTAINS scopes (reference ContainsEdgePass.scala:20-28)
 _CONTAINS_ROOTS = {"METHOD", "TYPE_DECL", "FILE"}
@@ -107,7 +110,16 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     # MACRO_DECL emission + MACRO_REF conversion: object-like macro uses are
     # parsed as identifiers — retag them MACRO_REF; function-like macro call
     # sites stay CALLs and are REF-linked by macro_ref_linker on (doc, name)
+    # #include lines → IMPORT nodes (the XImportsPass analog the Java parser
+    # already has for `import` statements; DependenciesPass derives the
+    # DEPENDENCY universe from these downstream)
     macro_tops: list[AstNode] = []
+    for m in _INCLUDE_RE.finditer(text):
+        macro_tops.append(AstNode(
+            kind="IMPORT", name=m.group(1), full_name=m.group(1),
+            code=m.group(0).strip(), pos=m.start(),
+            line=text.count("\n", 0, m.start()) + 1,
+        ))
     macro_names: set[str] = set()
     for m in _DEFINE_RE.finditer(text):
         macro_names.add(m.group(1))

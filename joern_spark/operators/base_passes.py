@@ -193,6 +193,34 @@ def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
     return stub_nodes, stub_edges
 
 
+def dependency_pass(nodes: DataFrame) -> DataFrame:
+    """DEPENDENCY nodes from the corpus's import universe.
+
+    Reference: ``jssrc2cpg/.../DependenciesPass.scala:14-35`` (NewDependency
+    per declared package). Here the declared-dependency source is the IMPORT
+    node set (Java ``import`` + C ``#include``); one DEPENDENCY row per
+    distinct imported name — a vocabulary-sized distinct, map-side combined.
+    """
+    imports = (
+        nodes.filter(F.col("kind") == "IMPORT")
+        .select(F.col("name").alias("dep_name"))
+        .filter(F.col("dep_name").isNotNull() & (F.col("dep_name") != ""))
+        .distinct()
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name in pdf["dep_name"]:
+                rows.append(_node_template(
+                    node_id=stub_id("DEPENDENCY", name), kind="DEPENDENCY",
+                    name=name, full_name=name, code=name, is_external=True,
+                ))
+            yield rows_to_pdf(rows, NODE_COLUMNS)
+
+    return imports.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+
+
 def macro_ref_linker(nodes: DataFrame) -> DataFrame:
     """REF edges: MACRO_REF (object-like use) and CALL (function-like use) →
     same-document MACRO_DECL, keyed on (doc_id, name). Fork-specific node

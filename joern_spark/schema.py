@@ -20,6 +20,8 @@ NODE_KINDS = [
     "IMPORT",
     # fork-specific kinds (NodeTypeStarters.scala:180-190)
     "MACRO_DECL", "MACRO_REF",
+    # DependenciesPass output (jssrc2cpg DependenciesPass.scala:14-35)
+    "DEPENDENCY",
 ]
 
 # Edge kinds in scope (reference: Ast.scala:25-52 + pass outputs, SURVEY.md §1.1)
