@@ -70,15 +70,30 @@ def fused_method_kernels(
     internal_names: set[str],
     with_dominators: bool = True,
     with_dataflow: bool = True,
+    recovery_dicts: tuple | None = None,
 ) -> DataFrame:
     """parse-output nodes → CFG (+DOMINATE/POST_DOMINATE/CDG) (+REACHING_DEF)
-    edge rows, partition-locally."""
+    edge rows, partition-locally.
+
+    When ``recovery_dicts`` (ret_types, members, class_by_id — from
+    ``type_recovery.collect_recovery_dicts``) is given, also runs the
+    per-method type-recovery mirror and emits its events as rows with
+    ``kind='_TYPE_HINT'`` (src=identifier id, variable=recovered type,
+    dst=0) — the pipeline filters these out of the edge stream and feeds
+    them to the field-access/hint linkers, replacing the DataFrame
+    ``type_recovery_events`` join DAG on the hot path."""
     cols = ["node_id", "doc_id", "kind", "name", "full_name", "code",
             "signature", "dispatch_type", "order", "argument_index", "line",
             "span_offset", "type_full_name", "is_external", "parent_id",
             "method_id", "ctrl_type"]
     src = nodes.filter(F.col("method_id").isNotNull()).select(*cols)
     names_local = internal_names  # closure-captured; Spark broadcasts the task
+    if recovery_dicts is not None:
+        from .type_recovery import recover_types_for_method
+
+        ret_types, members, class_by_id = recovery_dicts
+    else:
+        ret_types = members = class_by_id = None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # STREAMING group-by: a document's rows are contiguous in the parse
@@ -105,6 +120,14 @@ def fused_method_kernels(
                 if with_dominators and cfg:
                     for s, d, k in dominator_edges_for_method(rows, cfg):
                         emit(s, d, k)
+                if recovery_dicts is not None:
+                    for nid, rtype in recover_types_for_method(
+                            rows, ret_types, members, class_by_id):
+                        out_rows.append({
+                            "src": nid, "dst": 0, "kind": "_TYPE_HINT",
+                            "variable": rtype, "doc_id": doc_id,
+                            "method_id": mid,
+                        })
                 if with_dataflow and cfg:
                     krows = rows + _synth_param_outs(rows)
                     for r in krows:

@@ -1,20 +1,36 @@
 """End-to-end CPG triple factory (SURVEY.md §7.1 stage order).
 
 docs → [ast] parse (mapInPandas) → [base] type/stub/paramOut passes (joins)
-     → [cfg] per-method fringe kernel → [callgraph] static/CHA/naive linkers
-     → [dataflow] reaching-def kernels → [triples] materialization,
-each stage a pure DataFrame transformation; materialized stages write
-partitioned parquet + lineage rows + a resume manifest.
+     → [kernel] per-doc fused CFG/dominators/reaching-def/type-recovery
+     → [callgraph] static/CHA/naive linkers → [triples] materialization.
 
-In memory-only mode (tests) the unified parse output is cached instead of
-written; on a cluster every stage boundary is a parquet/Iceberg snapshot so
-any failed partition range resumes from the manifest without recomputation.
+Two physical paths share the logical stage order:
+
+- **fused** (default): everything document-local runs inside ONE shuffle-free
+  ``mapInPandas`` over the parse partitions (CFG, dominators/CDG,
+  reaching-def, and — round 3 — type recovery), fed by vocabulary-sized
+  broadcast dictionaries collected in a single job. Stage boundaries spill
+  to parquet (``spill.py``): columnar, atomic-rename, column-pruned
+  downstream — the barriers that were measured FLAT at 8→32 cores as
+  deserialized localCheckpoint blocks. Small vocabulary frames (TYPE rows,
+  stubs, namespaces) materialize individually and concurrently with the
+  kernel job; the wide 5-way nodes union is never copied — it stays a lazy
+  union over materialized leaves.
+- **DataFrame fallback**: when the broadcast dictionaries exceed their
+  budget (100×-scale corpora), the same passes run as distributed
+  join/cogroup DataFrame implementations (cfg_pass, dominator_pass,
+  reaching_def_pass, type_recovery_events) — degrade, don't die.
+
+With ``out_dir`` every stage boundary is a durable parquet snapshot with
+lineage rows and a resume manifest, so any failed partition range resumes
+without recomputation.
 """
 
 from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,8 +55,7 @@ from .operators.callgraph import (
     naive_call_linker,
     static_call_linker,
 )
-from .operators.cfg_pass import cfg_pass
-from .operators.reaching_def import reaching_def_pass
+from .spill import SpillDir
 from .triples import build_triples, part_id_col
 
 
@@ -88,12 +103,198 @@ def run_pipeline(
     else:
         cpg_rows = parse_docs(docs.repartition(min(n_parts, 32), "doc_id"))
         cpg_rows = cpg_rows.persist()
-        # materialize NOW: the nodes union fans out into 5 branches whose
-        # stages run concurrently inside one job — without this barrier they
-        # race to populate the cache and each re-runs the parse
+        # materialize NOW: downstream branches run as concurrent jobs —
+        # without this barrier they race to populate the cache and each
+        # re-runs the parse
         cpg_rows.count()
 
     nodes0, edges0, spans = split_rows(cpg_rows)
+
+    # one job collects every broadcast dictionary the fused kernel needs
+    # (internal method names, return types, members, method-parent classes);
+    # None → over budget → distributed DataFrame fallback
+    dicts = None
+    if fuse_kernels is not False:
+        from .operators.type_recovery import collect_recovery_dicts
+
+        dicts = collect_recovery_dicts(nodes0)
+
+    if dicts is not None:
+        return _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
+                          out_dir, n_parts, with_dataflow, with_dominators,
+                          stats, t0)
+    return _run_dataframe(spark, cpg_rows, nodes0, edges0, spans,
+                          out_dir, n_parts, with_dataflow, with_dominators,
+                          stats, t0)
+
+
+# ---------------------------------------------------------------------------
+# fused fast path
+# ---------------------------------------------------------------------------
+
+def _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
+               out_dir, n_parts, with_dataflow, with_dominators,
+               stats, t0) -> CpgResult:
+    from .operators.method_kernels import fused_method_kernels
+    from .operators.type_recovery import (
+        field_access_linker,
+        type_hint_call_linker,
+    )
+
+    internal_names, ret_types, members, class_by_id = dicts
+    spill = SpillDir(out_dir)
+
+    # ---- kernel job (python-heavy, scales with cores) — runs concurrently
+    # with the small vocabulary-frame materializations below
+    def kernel_job() -> DataFrame:
+        k = fused_method_kernels(
+            nodes0, internal_names,
+            with_dominators=with_dominators, with_dataflow=with_dataflow,
+            recovery_dicts=(ret_types, members, class_by_id),
+        )
+        return spill.write(k, "kernel_rows")
+
+    # ---- base vocabulary frames: each is small (type/stub/namespace
+    # vocabulary or per-parameter); materialize individually so the wide
+    # nodes union never needs its own barrier — it stays a lazy union over
+    # materialized leaves.
+    def types_job():
+        types = type_nodes(nodes0).localCheckpoint(eager=True)
+        decl_stubs = type_decl_stubs(types, nodes0).localCheckpoint(eager=True)
+        return types, decl_stubs
+
+    def stubs_job():
+        m_stubs, _ = method_stubs(nodes0, edges0)
+        return m_stubs.localCheckpoint(eager=True)
+
+    def params_job():
+        outs, _ = parameter_out_pass(nodes0)
+        return outs.localCheckpoint(eager=True)
+
+    def ns_job():
+        ns_nodes, _ = namespace_pass(nodes0)
+        return ns_nodes.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        kernel_f = pool.submit(kernel_job)
+        types_f = pool.submit(types_job)
+        stubs_f = pool.submit(stubs_job)
+        params_f = pool.submit(params_job)
+        ns_f = pool.submit(ns_job)
+        types, decl_stubs = types_f.result()
+        m_stubs = stubs_f.result()
+        param_outs = params_f.result()
+        ns_nodes = ns_f.result()
+        kernel_out = kernel_f.result()
+
+    # edge projections of the materialized vocabulary frames (cheap, lazy)
+    m_stub_edges = (
+        m_stubs.filter(F.col("parent_id").isNotNull())
+        .select(F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
+                F.lit("AST").alias("kind"), F.lit("").alias("variable"),
+                "doc_id", "method_id")
+    )
+    params_in = nodes0.filter(F.col("kind") == "METHOD_PARAMETER_IN")
+    param_ast = param_outs.select(
+        F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
+        F.lit("AST").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id")
+    param_link = (
+        params_in.alias("p")
+        .join(param_outs.alias("o"),
+              (F.col("p.parent_id") == F.col("o.parent_id"))
+              & (F.col("p.order") == F.col("o.order")))
+        .select(F.col("p.node_id").alias("src"), F.col("o.node_id").alias("dst"),
+                F.lit("PARAMETER_LINK").alias("kind"), F.lit("").alias("variable"),
+                F.col("p.doc_id").alias("doc_id"),
+                F.col("p.method_id").alias("method_id"))
+    )
+    ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
+                             F.col("node_id").alias("ns_id"))
+    ns_edges = (
+        nodes0.filter(F.col("kind") == "NAMESPACE_BLOCK")
+        .join(F.broadcast(ns_dim), F.col("name") == F.col("ns_name"))
+        .select(F.col("node_id").alias("src"), F.col("ns_id").alias("dst"),
+                F.lit("REF").alias("kind"), F.lit("").alias("variable"),
+                "doc_id", F.lit(None).cast("long").alias("method_id"))
+    )
+
+    nodes = (
+        nodes0.unionByName(types).unionByName(decl_stubs)
+        .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
+    )
+
+    # recovery events came out of the kernel as _TYPE_HINT rows
+    recovered = kernel_out.filter(F.col("kind") == "_TYPE_HINT").select(
+        F.col("src").alias("node_id"), F.col("variable").alias("recovered_type")
+    )
+    kernel_edges = kernel_out.filter(F.col("kind") != "_TYPE_HINT")
+
+    base_edges = (
+        edges0.unionByName(m_stub_edges)
+        .unionByName(param_ast).unionByName(param_link)
+        .unionByName(type_ref_pass(types, nodes0))
+        .unionByName(eval_type_pass(nodes, types))
+        .unionByName(field_access_linker(nodes0, edges0, recovered=recovered))
+        .unionByName(method_ref_linker(nodes))
+        .unionByName(macro_ref_linker(nodes0))
+        .unionByName(ns_edges)
+    )
+
+    # ---- stage: callgraph (INHERITS_FROM lives in the parse edges, so the
+    # closure reads edges0 — never forces the base-edge join branches)
+    from .operators.callgraph import prefer_internal_call_edges
+
+    static_edges = static_call_linker(nodes)
+    ambiguous = dynamic_call_linker(nodes, edges0)
+    ambiguous = ambiguous.unionByName(type_hint_call_linker(
+        nodes0, edges0, static_edges.unionByName(ambiguous), recovered=recovered))
+    ambiguous = ambiguous.unionByName(
+        naive_call_linker(nodes, static_edges.unionByName(ambiguous)))
+    call_edges = static_edges.unionByName(
+        prefer_internal_call_edges(ambiguous, nodes))
+
+    # ---- stage: edges materialization — ONE narrow columnar write
+    edges_all = base_edges.unionByName(kernel_edges).unionByName(call_edges)
+    t2 = time.time()
+    edges = spill.write(edges_all, "edges")
+    if out_dir:
+        append_lineage(spark, out_dir,
+                       edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
+                       "edges", t2)
+        write_manifest(out_dir, "edges", list(range(n_parts)), complete=True)
+        t1 = time.time()
+        nodes = spill.write(nodes, "nodes")
+        append_lineage(spark, out_dir,
+                       nodes.withColumn("part_id", part_id_col(n_parts=n_parts)),
+                       "base_nodes", t1)
+        write_manifest(out_dir, "base", list(range(n_parts)), complete=True)
+
+    misses = link_misses(nodes, call_edges)
+
+    # ---- stage: triples
+    triples = build_triples(nodes, edges, spans, n_parts=n_parts)
+    if out_dir:
+        t3 = time.time()
+        triples_dir = os.path.join(out_dir, "triples")
+        triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_dir)
+        triples = spark.read.parquet(triples_dir)
+        append_lineage(spark, out_dir, triples, "triples", t3)
+        write_manifest(out_dir, "triples", list(range(n_parts)), complete=True)
+
+    return CpgResult(nodes=nodes, edges=edges, spans=spans, triples=triples,
+                     link_misses=misses, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# distributed DataFrame fallback (dictionaries over budget, or fuse_kernels
+# explicitly disabled for parity testing)
+# ---------------------------------------------------------------------------
+
+def _run_dataframe(spark, cpg_rows, nodes0, edges0, spans,
+                   out_dir, n_parts, with_dataflow, with_dominators,
+                   stats, t0) -> CpgResult:
+    from .operators.reaching_def import reaching_def_pass
 
     # ---- stage: base (types, stubs, paramOuts, type linking) ---------------
     types = type_nodes(nodes0)
@@ -102,8 +303,6 @@ def run_pipeline(
     param_outs, param_edges = parameter_out_pass(nodes0)
     ns_nodes, ns_edges = namespace_pass(nodes0)
     if not out_dir:
-        # each stub frame feeds both the nodes union and its edge projection —
-        # persist so the generating pass runs once
         m_stubs = m_stubs.persist()
         param_outs = param_outs.persist()
 
@@ -114,24 +313,14 @@ def run_pipeline(
 
     if out_dir:
         t1 = time.time()
-        nodes = _materialize(spark, nodes, os.path.join(out_dir, "nodes"), "doc_id")
+        nodes = _materialize(spark, nodes, os.path.join(out_dir, "nodes"))
         append_lineage(spark, out_dir,
                        nodes.withColumn("part_id", part_id_col(n_parts=n_parts)),
                        "base_nodes", t1)
         write_manifest(out_dir, "base", list(range(n_parts)), complete=True)
     else:
-        # eager barrier + LINEAGE TRUNCATION: the union concatenates
-        # 5×n_parts partitions and has many downstream consumers (linkers,
-        # kernels, triples). Without materializing first, concurrent
-        # broadcast jobs race to compute the cache and re-run the whole
-        # parse+stub chain several times over; and without truncation the
-        # downstream logical plans embed this plan dozens of times — the
-        # recovery/linker rounds then grow plans until Catalyst's plan
-        # *stringification* alone OOMs the driver.
-        # no repartition: compacting the 5-way union costs a full shuffle of
-        # every wide node row and bought nothing downstream (the linkers
-        # broadcast their dims; the kernels read the parse output directly) —
-        # the extra union partitions are only task-scheduling overhead
+        # eager barrier + lineage truncation: many downstream consumers; see
+        # round-2 notes (plan-tree growth OOMs the driver without this)
         nodes = nodes.localCheckpoint(eager=True)
 
     from .operators.type_recovery import (
@@ -140,25 +329,7 @@ def run_pipeline(
         type_recovery_events,
     )
 
-    # materialize once: the recovery hints feed BOTH field_access_linker and
-    # the hint call linker — two plan branches that would each re-run the
-    # multi-shuffle recovery rounds; the output is small (2 columns).
-    # OVERLAP with the internal-method dictionary collect below: both are
-    # independent jobs over already-materialized inputs, and running them on
-    # the driver sequentially added their latencies to the serial fraction —
-    # Spark schedules concurrent jobs from separate submitter threads.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from .operators.method_kernels import internal_method_names
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        recovered_f = pool.submit(
-            lambda: type_recovery_events(nodes0).localCheckpoint(eager=True))
-        names_f = pool.submit(
-            lambda: internal_method_names(nodes)
-            if fuse_kernels is not False else None)
-        recovered = recovered_f.result()
-        internal_names = names_f.result()
+    recovered = type_recovery_events(nodes0).localCheckpoint(eager=True)
     base_edges = (
         edges0.unionByName(m_stub_edges).unionByName(param_edges)
         .unionByName(type_ref_pass(types, nodes0))
@@ -169,45 +340,27 @@ def run_pipeline(
         .unionByName(ns_edges)
     )
 
-    # ---- stage: controlflow + dataflow kernels -------------------------------
-    # fast path: methods are document-local, so CFG/dominators/reaching-def
-    # fuse into ONE shuffle-free mapInPandas over the parse partitions, with
-    # the internal-method dictionary broadcast (method_kernels.py). Falls
-    # back to the cogrouped per-pass implementations when the dictionary
-    # exceeds the broadcast budget.
-    from .operators.method_kernels import fused_method_kernels
+    # ---- stage: controlflow kernels (cogrouped per-pass implementations)
+    from .operators.cfg_pass import cfg_pass
 
-    fused = internal_names is not None
-    rd_fused = fused and with_dataflow
-    if fused:
-        kernel_edges = fused_method_kernels(
-            nodes0, internal_names,
-            with_dominators=with_dominators, with_dataflow=with_dataflow,
-        )
-    else:
-        kernel_edges = cfg_pass(nodes0)
-        if with_dominators:
-            if not out_dir:
-                kernel_edges = kernel_edges.persist()
-            from .operators.dominators import dominator_pass
+    kernel_edges = cfg_pass(nodes0)
+    if with_dominators:
+        if not out_dir:
+            kernel_edges = kernel_edges.persist()
+        from .operators.dominators import dominator_pass
 
-            kernel_edges = kernel_edges.unionByName(
-                dominator_pass(nodes0, kernel_edges))
+        kernel_edges = kernel_edges.unionByName(
+            dominator_pass(nodes0, kernel_edges))
 
     # ---- stage: callgraph ----------------------------------------------------
     from .operators.callgraph import prefer_internal_call_edges
 
     static_edges = static_call_linker(nodes)
-    # recovered-hint linking runs after CHA (it targets calls CHA could not
-    # resolve) and before the naive name-only fallback
-    ambiguous = dynamic_call_linker(nodes, base_edges)
+    ambiguous = dynamic_call_linker(nodes, edges0)
     ambiguous = ambiguous.unionByName(type_hint_call_linker(
         nodes0, edges0, static_edges.unionByName(ambiguous), recovered=recovered))
     ambiguous = ambiguous.unionByName(
         naive_call_linker(nodes, static_edges.unionByName(ambiguous)))
-    # prefer-internal pruning only over the ambiguous linkers' output: static
-    # links resolve by full_name (unambiguous), and windowing the static bulk
-    # (every printf/malloc site) would add a full shuffle for nothing
     call_edges = static_edges.unionByName(
         prefer_internal_call_edges(ambiguous, nodes))
 
@@ -215,20 +368,15 @@ def run_pipeline(
 
     if out_dir:
         t2 = time.time()
-        stage_name = "edges" if rd_fused else "edges_pre_ddg"
-        edges = _materialize(spark, edges, os.path.join(out_dir, stage_name), "doc_id")
+        edges = _materialize(spark, edges, os.path.join(out_dir, "edges_pre_ddg"))
         append_lineage(spark, out_dir,
                        edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
-                       stage_name, t2)
+                       "edges_pre_ddg", t2)
     else:
-        # no repartition: compacting ~9M wide edge rows costs a full shuffle,
-        # while the extra union partitions only cost task-scheduling overhead.
-        # localCheckpoint (not persist): truncates the edge plan so every
-        # downstream consumer (triples, DSL, flows) starts from a leaf.
         edges = edges.localCheckpoint(eager=True)
 
-    # ---- stage: dataflow (non-fused fallback only) ---------------------------
-    if with_dataflow and not rd_fused:
+    # ---- stage: dataflow (cogrouped reaching-def) ----------------------------
+    if with_dataflow:
         rd_edges = reaching_def_pass(nodes, edges)
         edges = edges.unionByName(rd_edges)
         if not out_dir:
