@@ -71,6 +71,7 @@ def main() -> None:
         "sec": round(sec, 2), "tps": round(n_triples / sec, 1),
         "cpu_sec": round(cpu, 1), "host_load_before": load0,
         "resumed": res.stats.get("ast_resumed_parts", 0),
+        "stages": {k: v for k, v in res.stats.items() if k.startswith("t_")},
     }))
     spark.stop()
 

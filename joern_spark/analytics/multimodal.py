@@ -4,10 +4,17 @@ The Spark-side plumbing is real — schemas, Arrow batch shapes, partitioning,
 ``mapInPandas`` UDF signatures — while the codec work itself is stubbed
 behind ``_decode_image``/``_decode_audio`` (the image/audio libraries are not
 in this container): with ``deterministic_fake=True`` decode yields a seeded
-synthetic payload derived from the media_ref hash, so tests exercise the full
-distributed path end-to-end; with ``deterministic_fake=False`` the stub
+synthetic payload derived from the media_ref's md5, so tests exercise the
+full distributed path end-to-end; with ``deterministic_fake=False`` the stub
 raises ``NotImplementedError`` exactly where a real codec (Pillow/ffmpeg)
 would plug in.
+
+The fake payload is a closed-form integer fill — pixel(idx) = (seed +
+177*idx) mod 256 with seed = first 8 md5 hex digits of the media_ref — so a
+pure-SQL DuckDB oracle can re-derive every output cell from the raw
+``documents`` table (the same md5-seed trick as ``ids.synth_key`` /
+``cpg_span_provenance``); all emitted metrics are exact integers or bit
+strings, never floats.
 
 Scale shape: one ``mapInPandas`` pass per operator, media bytes never leave
 the executor, output metadata is columnar; a 100 TB media table partitions by
@@ -27,17 +34,24 @@ from pyspark.sql import functions as F
 
 IMAGE_META_DDL = (
     "media_ref string, width int, height int, channels int, "
-    "mean_luma double, phash string"
+    "luma_total long, phash string"
 )
 AUDIO_META_DDL = (
-    "media_ref string, sample_rate int, n_samples int, rms double, "
+    "media_ref string, sample_rate int, n_samples int, energy long, "
     "fingerprint string"
 )
 FRAME_SAMPLE_DDL = "media_ref string, frame_index int, frame_phash string"
 
+# pixel/sample mixing multiplier: 0x9E3779B1 mod 256 (odd -> the fill cycles
+# through every byte value; kept small so int64 never overflows in either
+# engine)
+_MIX = 177
+
 
 def _seed(media_ref: str) -> int:
-    return int.from_bytes(hashlib.blake2b(media_ref.encode(), digest_size=8).digest(), "big")
+    """First 8 md5 hex digits as an int — DuckDB-expressible as
+    ``('0x' || substr(md5(media_ref), 1, 8))::BIGINT``."""
+    return int(hashlib.md5(media_ref.encode()).hexdigest()[:8], 16)
 
 
 def _decode_image(media_ref: str, payload: bytes | None,
@@ -47,31 +61,36 @@ def _decode_image(media_ref: str, payload: bytes | None,
         raise NotImplementedError(
             "image codec not available in this container; plug Pillow here"
         )
-    rng = np.random.default_rng(_seed(media_ref))
-    h, w = 32 + int(rng.integers(0, 32)), 32 + int(rng.integers(0, 32))
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    s = _seed(media_ref)
+    h, w = 32 + s % 32, 32 + (s // 32) % 32
+    idx = np.arange(h * w * 3, dtype=np.int64)
+    return ((s + _MIX * idx) % 256).astype(np.uint8).reshape(h, w, 3)
 
 
 def _decode_audio(media_ref: str, payload: bytes | None,
                   deterministic_fake: bool) -> tuple[int, np.ndarray]:
-    """→ (sample_rate, float32 samples). Real codec plug-point (ffmpeg)."""
+    """→ (sample_rate, int32 centered samples). Real codec plug-point
+    (ffmpeg)."""
     if not deterministic_fake:
         raise NotImplementedError(
             "audio codec not available in this container; plug ffmpeg here"
         )
-    rng = np.random.default_rng(_seed(media_ref))
-    n = 1000 + int(rng.integers(0, 1000))
-    return 16000, rng.standard_normal(n).astype(np.float32)
+    s = _seed(media_ref)
+    n = 1000 + s % 1000
+    idx = np.arange(n, dtype=np.int64)
+    return 16000, ((s + _MIX * idx) % 65536 - 32768).astype(np.int32)
 
 
 def _phash(arr: np.ndarray) -> str:
-    """Tiny perceptual hash: 8x8 mean-threshold bits of the luma plane."""
-    luma = arr.mean(axis=2) if arr.ndim == 3 else arr
+    """Tiny perceptual hash: 8x8 mean-threshold bits of the summed-channel
+    luma plane (exact integer comparisons — g*64 > sum(g) == g > mean(g))."""
+    luma = (arr.astype(np.int64).sum(axis=2)
+            if arr.ndim == 3 else arr.astype(np.int64))
     h, w = luma.shape
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
     small = luma[np.ix_(ys, xs)]
-    bits = (small > small.mean()).astype(np.uint8).flatten()
+    bits = (small * 64 > small.sum()).astype(np.uint8).flatten()
     return "".join(map(str, bits[:64]))
 
 
@@ -88,10 +107,11 @@ def image_features(media: DataFrame, deterministic_fake: bool = True) -> DataFra
                 rows.append({
                     "media_ref": ref, "width": arr.shape[1],
                     "height": arr.shape[0], "channels": arr.shape[2],
-                    "mean_luma": float(arr.mean()), "phash": _phash(arr),
+                    "luma_total": int(arr.astype(np.int64).sum()),
+                    "phash": _phash(arr),
                 })
             yield pd.DataFrame(rows, columns=[
-                "media_ref", "width", "height", "channels", "mean_luma", "phash",
+                "media_ref", "width", "height", "channels", "luma_total", "phash",
             ])
 
     return media.mapInPandas(run, schema=IMAGE_META_DDL)
@@ -112,10 +132,11 @@ def image_resize_meta(media: DataFrame, target: int = 16,
                 rows.append({
                     "media_ref": ref, "width": target, "height": target,
                     "channels": small.shape[2],
-                    "mean_luma": float(small.mean()), "phash": _phash(small),
+                    "luma_total": int(small.astype(np.int64).sum()),
+                    "phash": _phash(small),
                 })
             yield pd.DataFrame(rows, columns=[
-                "media_ref", "width", "height", "channels", "mean_luma", "phash",
+                "media_ref", "width", "height", "channels", "luma_total", "phash",
             ])
 
     return media.mapInPandas(run, schema=IMAGE_META_DDL)
@@ -127,14 +148,16 @@ def audio_features(media: DataFrame, deterministic_fake: bool = True) -> DataFra
             rows = []
             for ref in pdf["media_ref"]:
                 sr, samples = _decode_audio(ref, None, deterministic_fake)
+                s64 = samples.astype(np.int64)
+                canon = ",".join(map(str, s64.tolist()))
                 rows.append({
                     "media_ref": ref, "sample_rate": sr,
                     "n_samples": len(samples),
-                    "rms": float(np.sqrt(np.mean(samples ** 2))),
-                    "fingerprint": hashlib.md5(samples.tobytes()).hexdigest(),
+                    "energy": int((s64 * s64).sum()),
+                    "fingerprint": hashlib.md5(canon.encode()).hexdigest(),
                 })
             yield pd.DataFrame(rows, columns=[
-                "media_ref", "sample_rate", "n_samples", "rms", "fingerprint",
+                "media_ref", "sample_rate", "n_samples", "energy", "fingerprint",
             ])
 
     return media.mapInPandas(run, schema=AUDIO_META_DDL)
@@ -202,5 +225,125 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
 }
 
-# decode is not SQL-expressible — rows-only checks by design
-ORACLES: dict[str, str] = {}
+# ---------------------------------------------------------------------------
+# DuckDB oracles: re-derive every output cell from the raw documents table.
+# The fake decode is closed-form integer math on an md5 seed, so SQL can
+# replay it exactly — same trick as the cpg_span_provenance pure-SQL oracle.
+# ---------------------------------------------------------------------------
+
+from ..ids import SYNTH_KEY_DUCKDB_SQL  # noqa: E402
+
+_MEDIA_CTE = f"""
+media AS (
+    SELECT 'bin://artifact-' || CAST(doc_id AS VARCHAR) AS media_ref
+    FROM documents
+    WHERE ({SYNTH_KEY_DUCKDB_SQL.format(doc_id="CAST(doc_id AS VARCHAR)")}) % 5 = 0
+)"""
+
+# shared per-ref image geometry: seed -> h, w
+_IMG_DIMS = """
+dims AS (
+    SELECT media_ref,
+           ('0x' || substr(md5(media_ref), 1, 8))::BIGINT AS seed
+    FROM media
+), geo AS (
+    SELECT media_ref, seed,
+           32 + (seed % 32)        AS h,
+           32 + ((seed // 32) % 32) AS w
+    FROM dims
+)"""
+
+# 8x8 phash grid over the summed-channel luma plane; bit = g*64 > sum(g)
+_PHASH_GRID = """
+grid AS (
+    SELECT g.media_ref, g.seed, g.h, g.w, gi.i, gj.j,
+           ((gi.i * g.h) // 8) AS y, ((gj.j * g.w) // 8) AS x
+    FROM geo g, range(8) gi(i), range(8) gj(j)
+), g3 AS (
+    SELECT media_ref, i, j,
+           ((seed + 177 * ((y * w + x) * 3 + 0)) % 256
+          + (seed + 177 * ((y * w + x) * 3 + 1)) % 256
+          + (seed + 177 * ((y * w + x) * 3 + 2)) % 256) AS g
+    FROM grid
+), gtot AS (
+    SELECT media_ref, SUM(g) AS total FROM g3 GROUP BY media_ref
+), bits AS (
+    SELECT g3.media_ref,
+           string_agg(CASE WHEN g3.g * 64 > gtot.total THEN '1' ELSE '0' END,
+                      '' ORDER BY g3.i, g3.j) AS phash
+    FROM g3 JOIN gtot USING (media_ref)
+    GROUP BY g3.media_ref
+)"""
+
+ORACLES = {
+    "mm_image_features": f"""
+WITH {_MEDIA_CTE}, {_IMG_DIMS}, {_PHASH_GRID},
+lt AS (
+    -- h,w < 64 so h*w*3 < 12288: fixed range + filter (DuckDB's range()
+    -- cannot take lateral column parameters)
+    SELECT g.media_ref, SUM((g.seed + 177 * t.idx) % 256) AS luma_total
+    FROM geo g, range(12288) t(idx)
+    WHERE t.idx < g.h * g.w * 3
+    GROUP BY g.media_ref
+)
+SELECT g.media_ref, g.w AS width, g.h AS height, 3 AS channels,
+       lt.luma_total, b.phash
+FROM geo g JOIN lt USING (media_ref) JOIN bits b ON b.media_ref = g.media_ref
+""",
+    "mm_audio_features": f"""
+WITH {_MEDIA_CTE},
+seeds AS (
+    SELECT media_ref,
+           ('0x' || substr(md5(media_ref), 1, 8))::BIGINT AS seed
+    FROM media
+), lens AS (
+    SELECT media_ref, seed, 1000 + (seed % 1000) AS n FROM seeds
+), samples AS (
+    -- n < 2000: fixed range + filter (no lateral range params in DuckDB)
+    SELECT l.media_ref, l.n, t.idx AS i,
+           ((l.seed + 177 * t.idx) % 65536 - 32768) AS v
+    FROM lens l, range(2000) t(idx)
+    WHERE t.idx < l.n
+)
+SELECT media_ref, 16000 AS sample_rate, n AS n_samples,
+       SUM(v * v) AS energy,
+       md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS fingerprint
+FROM samples
+GROUP BY media_ref, n
+""",
+    "mm_frame_sample": f"""
+WITH {_MEDIA_CTE},
+frames AS (
+    SELECT media_ref, t.k AS frame_index,
+           media_ref || '#frame' || CAST(t.k AS VARCHAR) AS fref
+    FROM media, (SELECT unnest([0, 4, 8, 12]) AS k) t
+), dims AS (
+    SELECT media_ref, frame_index,
+           ('0x' || substr(md5(fref), 1, 8))::BIGINT AS seed
+    FROM frames
+), geo AS (
+    SELECT media_ref, frame_index, seed,
+           32 + (seed % 32)         AS h,
+           32 + ((seed // 32) % 32) AS w
+    FROM dims
+), grid AS (
+    SELECT g.media_ref, g.frame_index, g.seed, g.h, g.w, gi.i, gj.j,
+           ((gi.i * g.h) // 8) AS y, ((gj.j * g.w) // 8) AS x
+    FROM geo g, range(8) gi(i), range(8) gj(j)
+), g3 AS (
+    SELECT media_ref, frame_index, i, j,
+           ((seed + 177 * ((y * w + x) * 3 + 0)) % 256
+          + (seed + 177 * ((y * w + x) * 3 + 1)) % 256
+          + (seed + 177 * ((y * w + x) * 3 + 2)) % 256) AS g
+    FROM grid
+), gtot AS (
+    SELECT media_ref, frame_index, SUM(g) AS total
+    FROM g3 GROUP BY media_ref, frame_index
+)
+SELECT g3.media_ref, g3.frame_index,
+       string_agg(CASE WHEN g3.g * 64 > gtot.total THEN '1' ELSE '0' END,
+                  '' ORDER BY g3.i, g3.j) AS frame_phash
+FROM g3 JOIN gtot USING (media_ref, frame_index)
+GROUP BY g3.media_ref, g3.frame_index
+""",
+}

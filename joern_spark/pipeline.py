@@ -107,6 +107,7 @@ def run_pipeline(
         # without this barrier they race to populate the cache and each
         # re-runs the parse
         cpg_rows.count()
+        stats["t_parse"] = round(time.time() - t0, 2)
 
     nodes0, edges0, spans = split_rows(cpg_rows)
 
@@ -117,7 +118,9 @@ def run_pipeline(
     if fuse_kernels is not False:
         from .operators.type_recovery import collect_recovery_dicts
 
+        t_d = time.time()
         dicts = collect_recovery_dicts(nodes0)
+        stats["t_dicts"] = round(time.time() - t_d, 2)
 
     if dicts is not None:
         return _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
@@ -175,17 +178,28 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
         ns_nodes, _ = namespace_pass(nodes0)
         return ns_nodes.localCheckpoint(eager=True)
 
+    t_pool = time.time()
+
+    def timed(name, fn):
+        def run():
+            t = time.time()
+            out = fn()
+            stats[f"t_{name}"] = round(time.time() - t, 2)
+            return out
+        return run
+
     with ThreadPoolExecutor(max_workers=5) as pool:
-        kernel_f = pool.submit(kernel_job)
-        types_f = pool.submit(types_job)
-        stubs_f = pool.submit(stubs_job)
-        params_f = pool.submit(params_job)
-        ns_f = pool.submit(ns_job)
+        kernel_f = pool.submit(timed("kernel", kernel_job))
+        types_f = pool.submit(timed("types", types_job))
+        stubs_f = pool.submit(timed("stubs", stubs_job))
+        params_f = pool.submit(timed("params", params_job))
+        ns_f = pool.submit(timed("ns", ns_job))
         types, decl_stubs = types_f.result()
         m_stubs = stubs_f.result()
         param_outs = params_f.result()
         ns_nodes = ns_f.result()
         kernel_out = kernel_f.result()
+    stats["t_pool"] = round(time.time() - t_pool, 2)
 
     # edge projections of the materialized vocabulary frames (cheap, lazy)
     m_stub_edges = (
@@ -258,6 +272,7 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
     edges_all = base_edges.unionByName(kernel_edges).unionByName(call_edges)
     t2 = time.time()
     edges = spill.write(edges_all, "edges")
+    stats["t_edges_spill"] = round(time.time() - t2, 2)
     if out_dir:
         append_lineage(spark, out_dir,
                        edges.withColumn("part_id", part_id_col(n_parts=n_parts)),

@@ -85,7 +85,7 @@ def main() -> None:
     print(json.dumps({
         "cpus": cpus, "sec": round(sec, 2), "docs": n_docs,
         "triples": n_triples, "tps": round(n_triples / sec, 1),
-        "cpu_sec": round(cpu, 1),
+        "cpu_sec": round(cpu, 1), "stages": res.stats,
     }))
     spark.stop()
 
