@@ -22,17 +22,33 @@ tiers:
 
 from __future__ import annotations
 
+import getpass
 import os
+import shutil
+import uuid
 
-DUMP_DIR = "/tmp/joern_spark_oracle/sf0.01"
+# keyed by user so concurrent sessions of different users can't clobber each
+# other; JOERN_SPARK_ORACLE_DUMP overrides for full per-session isolation
+DUMP_DIR = os.environ.get(
+    "JOERN_SPARK_ORACLE_DUMP",
+    f"/tmp/joern_spark_oracle_{getpass.getuser()}/sf0.01",
+)
 
 
 def dump_cpg(res) -> None:
-    """Write the pipeline's nodes/edges/spans for the DuckDB oracles."""
-    res.nodes.write.mode("overwrite").parquet(os.path.join(DUMP_DIR, "nodes"))
-    res.edges.write.mode("overwrite").parquet(os.path.join(DUMP_DIR, "edges"))
+    """Write the pipeline's nodes/edges/spans for the DuckDB oracles.
+
+    The three frames land in a staging dir that is renamed over DUMP_DIR only
+    once ALL writes finished — a killed dump can never leave a half-visible
+    (or half-overwritten) dump for the oracle reader."""
+    tmp = f"{DUMP_DIR}.tmp-{uuid.uuid4().hex[:8]}"
+    res.nodes.write.mode("overwrite").parquet(os.path.join(tmp, "nodes"))
+    res.edges.write.mode("overwrite").parquet(os.path.join(tmp, "edges"))
     res.spans.select("doc_id", "span_offset", "kind", "text", "media_ref") \
-        .write.mode("overwrite").parquet(os.path.join(DUMP_DIR, "spans"))
+        .write.mode("overwrite").parquet(os.path.join(tmp, "spans"))
+    if os.path.exists(DUMP_DIR):
+        shutil.rmtree(DUMP_DIR)
+    os.rename(tmp, DUMP_DIR)
 
 
 _N = f"read_parquet('{DUMP_DIR}/nodes/*.parquet')"

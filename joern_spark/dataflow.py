@@ -236,6 +236,17 @@ def flow_segments(nodes: DataFrame, edges: DataFrame,
         entries = sorted(n for n, rs in roles.items() if "entry" in rs)
         for e in entries:
             count = 0
+            # an entry that ITSELF carries a terminal role emits a length-1
+            # segment: a stitch landing node that is the source closes the
+            # flow (literal-at-call-site → callee param → sink), and one that
+            # is also a hop departure (nested calls f(g(x))) keeps stitching
+            rs0 = roles.get(e, ())
+            if "source" in rs0:
+                out.append((mid, e, e, "source", [e]))
+                count += 1
+            if "boundary" in rs0:
+                out.append((mid, e, e, "boundary", [e]))
+                count += 1
             stack: list[tuple[int, tuple[int, ...]]] = [(e, (e,))]
             while stack and count < _MAX_SEGMENT_PATHS:
                 cur, path = stack.pop()

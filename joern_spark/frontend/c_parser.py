@@ -159,9 +159,17 @@ class CParser:
                                      type_full_name="int", pos=t.pos,
                                      line=t.line), order=order)
                     if self.at("="):
-                        while (self.peek() is not None and not self.at(",")
-                               and not self.at("}")):
-                            self.eat()
+                        # paren-depth-aware skip: `A = MAX(X, Y)` must consume
+                        # the ',' inside the call, stopping only at depth 0
+                        depth = 0
+                        while self.peek() is not None:
+                            if depth == 0 and (self.at(",") or self.at("}")):
+                                break
+                            tok = self.eat()
+                            if tok.text == "(":
+                                depth += 1
+                            elif tok.text == ")":
+                                depth -= 1
         else:
             while self.peek() is not None and not self.at("}"):
                 before = self.i

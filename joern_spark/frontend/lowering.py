@@ -149,11 +149,23 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
             if n.kind == "METHOD" and n.name:
                 method_full.setdefault(n.name, n.full_name or n.name)
     if method_full:
+        # scope-aware: a local/parameter that SHADOWS a function name keeps
+        # its IDENTIFIER kind (else it silently drops out of REACHING_DEF
+        # generation, type recovery, and usage slices — round-2 ADVICE)
+        def _retag(n: AstNode, shadowed: frozenset) -> None:
+            if n.kind == "METHOD":
+                shadowed = frozenset(
+                    c.name for c in n.walk()
+                    if c.kind in ("LOCAL", "METHOD_PARAMETER_IN"))
+            elif (n.kind == "IDENTIFIER" and n.name in method_full
+                    and n.name not in shadowed):
+                n.kind = "METHOD_REF"
+                n.full_name = method_full[n.name]
+            for c in n.children:
+                _retag(c, shadowed)
+
         for top in tops:
-            for n in top.walk():
-                if n.kind == "IDENTIFIER" and n.name in method_full:
-                    n.kind = "METHOD_REF"
-                    n.full_name = method_full[n.name]
+            _retag(top, frozenset())
 
     def emit(n: AstNode, parent_id: int | None, method_id: int | None,
              scope_root_id: int | None) -> int:

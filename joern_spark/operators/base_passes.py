@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dims import budgeted_broadcast
+
 from ..ids import stub_id
 from ..schema import EDGES_SCHEMA_DDL, NODES_SCHEMA_DDL, NODE_COLUMNS, rows_to_pdf
 
@@ -85,7 +87,7 @@ def namespace_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
                              F.col("node_id").alias("ns_id"))
     ref_edges = (
-        blocks.join(F.broadcast(ns_dim), blocks["name"] == F.col("ns_name"))
+        blocks.join(budgeted_broadcast(ns_dim), blocks["name"] == F.col("ns_name"))
         .select(
             F.col("node_id").alias("src"), F.col("ns_id").alias("dst"),
             F.lit("REF").alias("kind"), F.lit("").alias("variable"),
@@ -101,7 +103,7 @@ def type_decl_stubs(types: DataFrame, nodes: DataFrame) -> DataFrame:
         dereference(F.col("full_name")).alias("full_name")
     ).distinct()
     missing = types.select("full_name").join(
-        F.broadcast(decls), "full_name", "left_anti"
+        budgeted_broadcast(decls), "full_name", "left_anti"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,7 +145,7 @@ def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
     methods = nodes.filter(F.col("kind") == "METHOD").select(
         F.col("full_name").alias("c_full")
     ).distinct()
-    missing = calls.join(F.broadcast(methods), "c_full", "left_anti")
+    missing = calls.join(budgeted_broadcast(methods), "c_full", "left_anti")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -297,7 +299,7 @@ def type_ref_pass(types: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     return (
         types.select(F.col("full_name").alias("fn"), F.col("node_id").alias("type_id"))
-        .join(F.broadcast(decls), "fn")
+        .join(budgeted_broadcast(decls), "fn")
         .select(
             F.col("type_id").alias("src"), F.col("decl_id").alias("dst"),
             F.lit("REF").alias("kind"), F.lit("").alias("variable"),
@@ -329,7 +331,7 @@ def eval_type_pass(nodes: DataFrame, types: DataFrame) -> DataFrame:
         "doc_id", "method_id",
     )
     dim = types.select(F.col("full_name").alias("fn"), F.col("node_id").alias("type_id"))
-    return src.join(F.broadcast(dim), "fn").select(
+    return src.join(budgeted_broadcast(dim), "fn").select(
         F.col("src_id").alias("src"), F.col("type_id").alias("dst"),
         F.lit("EVAL_TYPE").alias("kind"), F.lit("").alias("variable"),
         "doc_id", "method_id",

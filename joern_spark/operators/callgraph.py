@@ -25,12 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dims import MAX_BROADCAST_DIM, budgeted_broadcast
+
 MAX_HIERARCHY_DEPTH = 20  # bound for the inheritance closure loop
 SMALL_HIERARCHY_LIMIT = 100_000  # driver-side closure below this many edges
 # method-dimension budget for the static-link broadcast join; above it the
 # broadcast would blow the driver/executor memory at cluster scale, so the
 # linker auto-falls-back to the salted shuffle join
-MAX_BROADCAST_METHODS = 2_000_000
+MAX_BROADCAST_METHODS = MAX_BROADCAST_DIM
 
 
 def _method_dim(nodes: DataFrame) -> DataFrame:
@@ -69,11 +71,37 @@ def static_call_linker(nodes: DataFrame, strategy: str = "auto",
         F.col("signature").alias("c_sig"),
         "doc_id", "method_id",
     )
+    return _static_candidates(nodes, strategy=strategy, hot_keys=hot_keys,
+                              broadcast_budget=broadcast_budget).select(
+        "src", "dst",
+        F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id",
+    )
+
+
+def _static_candidates(nodes: DataFrame, strategy: str = "auto",
+                       hot_keys: DataFrame | None = None,
+                       broadcast_budget: int = MAX_BROADCAST_METHODS) -> DataFrame:
+    """Static-link candidate rows (src, dst, doc_id, method_id, m_external)."""
+    calls = nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("dispatch_type").isin("STATIC_DISPATCH", "INLINED")
+    ).select(
+        F.col("node_id").alias("call_id"),
+        F.col("full_name").alias("m_full"),
+        F.col("signature").alias("c_sig"),
+        "doc_id", "method_id",
+    )
     methods = _method_dim(nodes)
     if strategy == "auto":
-        # bounded count: stops scanning at budget+1, never a full aggregate
-        n_methods = methods.limit(broadcast_budget + 1).count()
-        strategy = "broadcast" if n_methods <= broadcast_budget else "salted"
+        from . import dims
+
+        if dims._FITS_HINT is not None:
+            strategy = "broadcast" if dims._FITS_HINT else "salted"
+        else:
+            # bounded count: stops scanning at budget+1, never a full aggregate
+            n_methods = methods.limit(broadcast_budget + 1).count()
+            strategy = "broadcast" if n_methods <= broadcast_budget else "salted"
     if strategy == "salted":
         from .salting import salted_join
 
@@ -88,8 +116,7 @@ def static_call_linker(nodes: DataFrame, strategy: str = "auto",
     )
     return joined.select(
         F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
-        F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
-        "doc_id", "method_id",
+        "doc_id", "method_id", "m_external",
     )
 
 
@@ -108,7 +135,7 @@ def method_ref_linker(nodes: DataFrame) -> DataFrame:
     )
     methods = _method_dim(nodes)
     return (
-        refs.join(F.broadcast(methods), "m_full")
+        refs.join(budgeted_broadcast(methods), "m_full")
         .select(
             F.col("ref_id").alias("src"), F.col("m_id").alias("dst"),
             F.lit("REF").alias("kind"), F.lit("").alias("variable"),
@@ -133,7 +160,7 @@ def inheritance_closure(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     base = (
         edges.filter(F.col("kind") == "INHERITS_FROM")
         .join(decls, F.col("src") == F.col("decl_id"))
-        .join(F.broadcast(types), F.col("dst") == F.col("type_id"))
+        .join(budgeted_broadcast(types), F.col("dst") == F.col("type_id"))
         .select(F.col("decl_full").alias("sub"), F.col("type_full").alias("sup"))
         .distinct()
     )
@@ -180,25 +207,17 @@ def inheritance_closure(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return closure
 
 
-def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """CHA resolution for DYNAMIC_DISPATCH calls.
-
-    call full_name = ``Recv.m`` → candidates = methods ``C.m`` for every C in
-    subclass-closure(Recv); if none, walk up the superclass chain
-    (``DynamicCallLinker.scala:142-167``); prefer internal methods over
-    external stubs (``:187-196``).
-    """
+def _dynamic_candidates(nodes: DataFrame, edges: DataFrame) -> DataFrame | None:
+    """CHA candidate set for DYNAMIC_DISPATCH calls: (src, dst, doc_id,
+    method_id, m_external) distinct rows, NO internal-preference pruning —
+    or None when the corpus has no dynamic dispatch (C-only inputs; the
+    reference early-exits the same way, ``DynamicCallLinker.scala:52-55``)."""
     calls = nodes.filter(
         (F.col("kind") == "CALL") & (F.col("dispatch_type") == "DYNAMIC_DISPATCH")
         & F.col("full_name").contains(".")
     )
-    # early exit when the corpus has no dynamic dispatch (C-only inputs) —
-    # reference does the same (DynamicCallLinker.scala:52-55); skips the
-    # closure computation and ~15 join/window stages
     if calls.limit(1).count() == 0:
-        return nodes.sparkSession.createDataFrame(
-            [], schema="src long, dst long, kind string, variable string, "
-                       "doc_id string, method_id long")
+        return None
     calls = calls.select(
         F.col("node_id").alias("call_id"),
         F.col("full_name").alias("c_full"),
@@ -216,9 +235,9 @@ def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("sup").alias("recv_type"), F.col("sub").alias("impl_class")
     )
     down = (
-        calls.join(F.broadcast(subclasses), "recv_type")
+        calls.join(budgeted_broadcast(subclasses), "recv_type")
         .join(
-            F.broadcast(methods),
+            budgeted_broadcast(methods),
             (F.col("impl_class") == F.col("m_class"))
             & (F.col("c_name") == F.col("m_name")),
         )
@@ -230,19 +249,39 @@ def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     up = (
         calls.join(resolved_ids, "call_id", "left_anti")
-        .join(F.broadcast(supers), "recv_type")
+        .join(budgeted_broadcast(supers), "recv_type")
         .join(
-            F.broadcast(methods),
+            budgeted_broadcast(methods),
             (F.col("impl_class") == F.col("m_class"))
             & (F.col("c_name") == F.col("m_name")),
         )
     )
-    candidates = down.unionByName(up)
+    return (
+        down.unionByName(up)
+        .select(F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
+                "doc_id", "method_id", "m_external")
+        .distinct()
+    )
+
+
+def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """CHA resolution for DYNAMIC_DISPATCH calls.
+
+    call full_name = ``Recv.m`` → candidates = methods ``C.m`` for every C in
+    subclass-closure(Recv); if none, walk up the superclass chain
+    (``DynamicCallLinker.scala:142-167``); prefer internal methods over
+    external stubs (``:187-196``).
+    """
+    candidates = _dynamic_candidates(nodes, edges)
+    if candidates is None:
+        return nodes.sparkSession.createDataFrame(
+            [], schema="src long, dst long, kind string, variable string, "
+                       "doc_id string, method_id long")
     # prefer-internal pruning: if any internal candidate exists for a call,
-    # drop the external stubs (window over call_id).
+    # drop the external stubs (window over call id).
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("call_id")
+    w = W.partitionBy("src")
     candidates = (
         candidates.withColumn(
             "has_internal", F.max(F.when(~F.col("m_external"), 1).otherwise(0)).over(w)
@@ -250,27 +289,36 @@ def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .filter((F.col("has_internal") == 0) | (~F.col("m_external")))
     )
     return candidates.select(
-        F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
+        "src", "dst",
         F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
         "doc_id", "method_id",
     ).distinct()
 
 
-def naive_call_linker(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
-    """Leftover calls linked by bare name against non-operator methods."""
+def _naive_candidates(nodes: DataFrame) -> DataFrame:
+    """Bare-name candidates for EVERY non-operator call (the unlinked-only
+    filter is applied by the arbitration window in :func:`link_calls`, or by
+    the caller's anti-join in :func:`naive_call_linker`)."""
     calls = nodes.filter(
         (F.col("kind") == "CALL") & ~F.col("name").startswith("<operator>")
     ).select(
         F.col("node_id").alias("call_id"), F.col("name").alias("m_name"),
         "doc_id", "method_id",
     )
-    unlinked = calls.join(
-        call_edges.select(F.col("src").alias("call_id")).distinct(),
-        "call_id", "left_anti",
-    )
     methods = _method_dim(nodes).filter(~F.col("m_name").startswith("<operator>"))
-    return unlinked.join(F.broadcast(methods), "m_name").select(
+    return calls.join(budgeted_broadcast(methods), "m_name").select(
         F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
+        "doc_id", "method_id", "m_external",
+    )
+
+
+def naive_call_linker(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
+    """Leftover calls linked by bare name against non-operator methods."""
+    unlinked = _naive_candidates(nodes).join(
+        call_edges.select(F.col("src")).distinct(), "src", "left_anti",
+    )
+    return unlinked.select(
+        "src", "dst",
         F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
         "doc_id", "method_id",
     )
@@ -295,6 +343,70 @@ def prefer_internal_call_edges(call_edges: DataFrame, nodes: DataFrame) -> DataF
         .filter((F.col("has_internal") == 0)
                 | (~F.coalesce(F.col("m_ext"), F.lit(True))))
         .select(*call_edges.columns)
+    )
+
+
+def link_calls(nodes: DataFrame, edges: DataFrame,
+               recovered: DataFrame | None = None) -> DataFrame:
+    """All four call linkers in ONE pass: static + CHA + type-hint + naive
+    candidates (no anti-joins) arbitrated by a single priority window.
+
+    Physically this replaces the linker chain's anti-join cascade — where
+    each stage's "still unlinked?" probe re-evaluated every upstream linker,
+    and the final materialization re-evaluated the whole chain again (the
+    round-2 profile's anti-scaling edges stage) — with one candidate union
+    and one shuffle by call id. Semantics are row-for-row identical to the
+    sequential chain (asserted by tests/test_callgraph.py): per call,
+
+    - static/CHA candidates always link (CHA externals pruned when the call
+      has an internal CHA candidate or a recovered-hint link);
+    - hint candidates link iff no internal static/CHA method resolved the
+      call (``XTypeHintCallLinker.calls`` emptiness condition);
+    - naive candidates link iff nothing else linked the call, external stubs
+      pruned when an internal bare-name match exists
+      (``DynamicCallLinker.scala:187-196`` pruning applied across linkers).
+    """
+    from .type_recovery import _hint_candidates
+
+    rank = lambda df, r: df.select(  # noqa: E731
+        "src", "dst", "doc_id", "method_id", "m_external", F.lit(r).alias("rank"))
+
+    cand = rank(_static_candidates(nodes), 0)
+    dyn = _dynamic_candidates(nodes, edges)
+    if dyn is not None:
+        cand = cand.unionByName(rank(dyn, 1))
+    cand = cand.unionByName(rank(_hint_candidates(nodes, edges, recovered), 2))
+    cand = cand.unionByName(rank(_naive_candidates(nodes), 3))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("src")
+    flag = lambda c: F.max(F.when(c, 1).otherwise(0)).over(w)  # noqa: E731
+    cand = (
+        cand.withColumn("f_r01", flag(F.col("rank") <= 1))
+        .withColumn("f_r01_int", flag((F.col("rank") <= 1) & ~F.col("m_external")))
+        .withColumn("f_dyn_int", flag((F.col("rank") == 1) & ~F.col("m_external")))
+        .withColumn("f_hint", flag(F.col("rank") == 2))
+        .withColumn("f_naive_int", flag((F.col("rank") == 3) & ~F.col("m_external")))
+    )
+    hint_kept = (F.col("f_hint") == 1) & (F.col("f_r01_int") == 0)
+    keep = (
+        # static: always (the sequential chain never prunes static edges)
+        (F.col("rank") == 0)
+        # CHA internal: always; CHA external: only if no internal CHA
+        # candidate and no hint link supersedes it
+        | ((F.col("rank") == 1) & (~F.col("m_external")
+           | ((F.col("f_dyn_int") == 0) & ~hint_kept)))
+        # hint: iff no internal static/CHA resolution
+        | ((F.col("rank") == 2) & (F.col("f_r01_int") == 0))
+        # naive: iff the call is otherwise unlinked; externals pruned when an
+        # internal bare-name candidate exists
+        | ((F.col("rank") == 3) & (F.col("f_r01") == 0) & ~hint_kept
+           & (~F.col("m_external") | (F.col("f_naive_int") == 0)))
+    )
+    return cand.filter(keep).select(
+        "src", "dst", F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
+        "doc_id", "method_id",
     )
 
 

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dims import budgeted_broadcast
+
 from ..ids import stub_id
 from ..schema import EDGES_SCHEMA_DDL
 from .semantics import default_semantics, semantics_for
@@ -618,7 +620,7 @@ def reaching_def_pass(nodes: DataFrame, all_edges: DataFrame) -> DataFrame:
         .withColumn("callee_internal", F.lit(True))
     )
     enriched = nodes.join(
-        F.broadcast(internal_methods),
+        budgeted_broadcast(internal_methods),
         (nodes["kind"] == "CALL") & (nodes["full_name"] == internal_methods["mi_full"]),
         "left",
     ).drop("mi_full")

@@ -72,4 +72,8 @@ def salted_join(facts: DataFrame, dim: DataFrame, key: str,
         .withColumn("_salt", F.explode("_salts"))
         .drop("_salts", "_hot")
     )
-    return facts_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+    # the salted path is only taken when the dim is over the broadcast
+    # budget; pin the shuffle join so Catalyst's (possibly stale or absent)
+    # size stats can't flip it back to a broadcast that would OOM at scale
+    return facts_s.join(dim_s.hint("shuffle_hash"), [key, "_salt"], how) \
+        .drop("_salt")

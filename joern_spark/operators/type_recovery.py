@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dims import budgeted_broadcast
+
 ITERATIONS = 2  # XTypeRecovery.scala:28
 
 _FIELD_ACCESS_OPS = ["<operator>.fieldAccess", "<operator>.indirectFieldAccess"]
@@ -50,7 +52,7 @@ def _members_dim(nodes: DataFrame) -> DataFrame:
             (F.col("kind") == "MEMBER")
             & F.col("type_full_name").isNotNull() & (F.col("type_full_name") != "")
         )
-        .join(F.broadcast(classes), F.col("parent_id") == F.col("c_id"))
+        .join(budgeted_broadcast(classes), F.col("parent_id") == F.col("c_id"))
         .select(F.col("mc_full").alias("recv_type"), F.col("name").alias("f_name"),
                 F.col("type_full_name").alias("member_type"))
     )
@@ -105,7 +107,7 @@ def type_recovery_events(nodes: DataFrame, iterations: int = ITERATIONS) -> Data
     this_types = (
         idents.filter(F.col("name") == "this")
         .join(methods, idents["method_id"] == methods["m_id"])
-        .join(F.broadcast(classes), F.col("m_parent") == F.col("c_id"))
+        .join(budgeted_broadcast(classes), F.col("m_parent") == F.col("c_id"))
         .select("node_id", F.col("c_full").alias("recovered_type"))
     )
     rec = rec.unionByName(this_types)
@@ -157,7 +159,7 @@ def type_recovery_events(nodes: DataFrame, iterations: int = ITERATIONS) -> Data
                          F.col("full_name").alias("callee_full")),
             "rhs_call",
         )
-        .join(F.broadcast(method_ret), "callee_full")
+        .join(budgeted_broadcast(method_ret), "callee_full")
         .select("a_id", F.col("ret_type").alias("rhs_type"))
     )
     alloc_rhs = alloc_rhs.unionByName(call_ret_rhs)
@@ -192,7 +194,7 @@ def type_recovery_events(nodes: DataFrame, iterations: int = ITERATIONS) -> Data
             .join(rec_d.withColumnRenamed("node_id", "recv_id"), "recv_id")
             .select("fa_id", deref.alias("recv_type"))
             .join(fa_fields, "fa_id")
-            .join(F.broadcast(members), ["recv_type", "f_name"])
+            .join(budgeted_broadcast(members), ["recv_type", "f_name"])
             .select("fa_id", F.col("member_type").alias("rhs_type"))
         )
         member_rhs = (
@@ -233,7 +235,8 @@ def type_recovery_events(nodes: DataFrame, iterations: int = ITERATIONS) -> Data
 RECOVERY_DICT_BUDGET = 2_000_000  # rows across all dictionaries
 
 
-def collect_recovery_dicts(nodes: DataFrame, budget: int = RECOVERY_DICT_BUDGET):
+def collect_recovery_dicts(nodes: DataFrame, budget: int = RECOVERY_DICT_BUDGET,
+                           with_counts: bool = False):
     """Collect the vocabulary-sized global dictionaries the fused kernel
     needs, in ONE Spark job. Returns (internal_names, ret_types, members,
     class_by_id) or None when the union exceeds ``budget`` rows (caller
@@ -245,6 +248,11 @@ def collect_recovery_dicts(nodes: DataFrame, budget: int = RECOVERY_DICT_BUDGET)
     - class_by_id: TYPE_DECL node_id -> full_name (only decls that parent a
       METHOD — the `this` rule's lookup set; empty for C corpora)
     Ids travel as strings end-to-end (never through pandas float64).
+
+    With ``with_counts=True`` the same single job also returns per-kind node
+    counts (appended as ``tag='n'`` rows) as a 5th element — the pipeline's
+    input to the run-wide broadcast-budget decision (``dims.dim_fits_hint``),
+    so no dim join pays its own probe job on the hot path.
     """
     methods = nodes.filter(F.col("kind") == "METHOD").select(
         F.col("node_id").alias("mm_id"), F.col("full_name").alias("mm_full"),
@@ -287,11 +295,22 @@ def collect_recovery_dicts(nodes: DataFrame, budget: int = RECOVERY_DICT_BUDGET)
                 F.col("c_full").alias("b"), F.lit("").alias("c"))
     )
 
-    pdf = (
+    union = (
         name_rows.unionByName(ret_rows).unionByName(member_rows)
         .unionByName(class_rows)
-        .limit(budget + 1).toPandas()
+        .limit(budget + 1)
     )
+    if with_counts:
+        kind_counts = nodes.groupBy("kind").count().select(
+            F.lit("n").alias("tag"), F.col("kind").alias("a"),
+            F.col("count").cast("string").alias("b"), F.lit("").alias("c"))
+        union = union.unionByName(kind_counts)
+    pdf = union.toPandas()
+    counts: dict[str, int] = {}
+    if with_counts:
+        mask = pdf["tag"] == "n"
+        counts = {a: int(b) for a, b in zip(pdf["a"][mask], pdf["b"][mask])}
+        pdf = pdf[~mask]
     if len(pdf) > budget:
         return None
     internal_names: set[str] = set()
@@ -307,12 +326,13 @@ def collect_recovery_dicts(nodes: DataFrame, budget: int = RECOVERY_DICT_BUDGET)
             members.setdefault((a, b), set()).add(c)
         else:
             class_by_id[int(a)] = b
-    return (
+    out = (
         internal_names,
         {k: tuple(sorted(v)) for k, v in ret_types.items()},
         {k: tuple(sorted(v)) for k, v in members.items()},
         class_by_id,
     )
+    return out + (counts,) if with_counts else out
 
 
 def _str_or_none(v):
@@ -480,26 +500,14 @@ def dynamic_type_hints(nodes: DataFrame, edges: DataFrame,
     )
 
 
-def type_hint_call_linker(nodes: DataFrame, edges: DataFrame,
-                          existing_call_edges: DataFrame,
-                          recovered: DataFrame | None = None) -> DataFrame:
-    """CALL edges from recovered dynamic type hints.
-
-    Reference ``XTypeHintCallLinker.scala:22-90``: for calls that no other
-    linker resolved, materialize CALL edges to methods whose full_name
-    matches a hint. The method dim broadcasts; unresolved-call filtering is
-    an anti-join on the already-linked call ids."""
+def _hint_candidates(nodes: DataFrame, edges: DataFrame,
+                     recovered: DataFrame | None = None) -> DataFrame:
+    """Hint-link candidate rows (src, dst, doc_id, method_id, m_external) for
+    EVERY hinted dynamic call — internal methods only, so ``m_external`` is
+    constant false; the "no other linker resolved it" condition is applied by
+    the caller (``link_calls`` arbitration window or
+    ``type_hint_call_linker``'s anti-join)."""
     hints = dynamic_type_hints(nodes, edges, recovered)
-    # a call linked only to an external stub still counts as unresolved —
-    # XTypeHintCallLinker.calls requires callee.isEmpty of *real* methods
-    internal_m = nodes.filter(
-        (F.col("kind") == "METHOD") & (~F.col("is_external"))
-    ).select(F.col("node_id").alias("dst"))
-    linked = (
-        existing_call_edges.join(internal_m, "dst")
-        .select(F.col("src").alias("call_id")).distinct()
-    )
-    unresolved = hints.join(linked, "call_id", "left_anti")
     # internal methods only: a hint that matches nothing but an auto-created
     # external stub is noise from the declared-type lattice (e.g. Object.f) —
     # the prefer-internal pruning DynamicCallLinker applies (:187-196)
@@ -509,13 +517,41 @@ def type_hint_call_linker(nodes: DataFrame, edges: DataFrame,
         F.col("full_name").alias("hint_full"), F.col("node_id").alias("m_id")
     )
     return (
-        unresolved.join(F.broadcast(methods), "hint_full")
+        hints.join(budgeted_broadcast(methods), "hint_full")
         .select(
             F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
+            "doc_id", "method_id", F.lit(False).alias("m_external"),
+        )
+        .distinct()
+    )
+
+
+def type_hint_call_linker(nodes: DataFrame, edges: DataFrame,
+                          existing_call_edges: DataFrame,
+                          recovered: DataFrame | None = None) -> DataFrame:
+    """CALL edges from recovered dynamic type hints.
+
+    Reference ``XTypeHintCallLinker.scala:22-90``: for calls that no other
+    linker resolved, materialize CALL edges to methods whose full_name
+    matches a hint. The method dim broadcasts; unresolved-call filtering is
+    an anti-join on the already-linked call ids."""
+    candidates = _hint_candidates(nodes, edges, recovered)
+    # a call linked only to an external stub still counts as unresolved —
+    # XTypeHintCallLinker.calls requires callee.isEmpty of *real* methods
+    internal_m = nodes.filter(
+        (F.col("kind") == "METHOD") & (~F.col("is_external"))
+    ).select(F.col("node_id").alias("dst"))
+    linked = (
+        existing_call_edges.join(internal_m, "dst")
+        .select(F.col("src")).distinct()
+    )
+    return (
+        candidates.join(linked, "src", "left_anti")
+        .select(
+            "src", "dst",
             F.lit("CALL").alias("kind"), F.lit("").alias("variable"),
             "doc_id", "method_id",
         )
-        .distinct()
     )
 
 
@@ -551,13 +587,13 @@ def field_access_linker(nodes: DataFrame, edges: DataFrame,
     )
     members = (
         nodes.filter(F.col("kind") == "MEMBER")
-        .join(F.broadcast(classes), F.col("parent_id") == F.col("c_id"))
+        .join(budgeted_broadcast(classes), F.col("parent_id") == F.col("c_id"))
         .select(F.col("node_id").alias("mem_id"), F.col("c_full").alias("recv_type"),
                 F.col("name").alias("f_name"))
     )
     return (
         recv_type.join(fields, "fa_id")
-        .join(F.broadcast(members), ["recv_type", "f_name"])
+        .join(budgeted_broadcast(members), ["recv_type", "f_name"])
         .select(
             F.col("fa_id").alias("src"), F.col("mem_id").alias("dst"),
             F.lit("REF").alias("kind"), F.lit("").alias("variable"),

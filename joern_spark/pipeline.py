@@ -111,21 +111,15 @@ def run_pipeline(
 
     nodes0, edges0, spans = split_rows(cpg_rows)
 
-    # one job collects every broadcast dictionary the fused kernel needs
-    # (internal method names, return types, members, method-parent classes);
-    # None → over budget → distributed DataFrame fallback
-    dicts = None
     if fuse_kernels is not False:
-        from .operators.type_recovery import collect_recovery_dicts
-
-        t_d = time.time()
-        dicts = collect_recovery_dicts(nodes0)
-        stats["t_dicts"] = round(time.time() - t_d, 2)
-
-    if dicts is not None:
-        return _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
-                          out_dir, n_parts, with_dataflow, with_dominators,
-                          stats, t0)
+        # the broadcast dictionaries are collected INSIDE the fused path's
+        # job pool (overlapped with the vocabulary-frame materializations);
+        # a None result there falls through to the DataFrame path
+        res = _run_fused(spark, cpg_rows, nodes0, edges0, spans,
+                         out_dir, n_parts, with_dataflow, with_dominators,
+                         stats, t0)
+        if res is not None:
+            return res
     return _run_dataframe(spark, cpg_rows, nodes0, edges0, spans,
                           out_dir, n_parts, with_dataflow, with_dominators,
                           stats, t0)
@@ -135,21 +129,30 @@ def run_pipeline(
 # fused fast path
 # ---------------------------------------------------------------------------
 
-def _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
+def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
                out_dir, n_parts, with_dataflow, with_dominators,
-               stats, t0) -> CpgResult:
+               stats, t0) -> CpgResult | None:
+    from .operators.dims import MAX_BROADCAST_DIM, dim_fits_hint
     from .operators.method_kernels import fused_method_kernels
     from .operators.type_recovery import (
+        collect_recovery_dicts,
         field_access_linker,
-        type_hint_call_linker,
     )
 
-    internal_names, ret_types, members, class_by_id = dicts
     spill = SpillDir(out_dir)
 
-    # ---- kernel job (python-heavy, scales with cores) — runs concurrently
-    # with the small vocabulary-frame materializations below
-    def kernel_job() -> DataFrame:
+    # ---- dicts + kernel job (python-heavy, scales with cores) — the
+    # dictionary collect is chained in front of the kernel INSIDE the pool so
+    # it overlaps the vocabulary-frame materializations instead of serializing
+    # the whole pipeline behind it (the round-2 profile's flat ~5 s barrier)
+    def kernel_job() -> DataFrame | None:
+        t_d = time.time()
+        dicts = collect_recovery_dicts(nodes0, with_counts=True)
+        stats["t_dicts"] = round(time.time() - t_d, 2)
+        if dicts is None:
+            return None
+        internal_names, ret_types, members, class_by_id, counts = dicts
+        stats["kind_counts"] = counts
         k = fused_method_kernels(
             nodes0, internal_names,
             with_dominators=with_dominators, with_dataflow=with_dataflow,
@@ -200,6 +203,20 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
         ns_nodes = ns_f.result()
         kernel_out = kernel_f.result()
     stats["t_pool"] = round(time.time() - t_pool, 2)
+    if kernel_out is None:
+        return None  # dictionaries over budget → DataFrame fallback
+
+    # run-wide broadcast-budget decision: every dimension any downstream join
+    # broadcasts is vocabulary-or-stub-sized; their union is bounded by these
+    # kind counts, so one hint replaces a per-join probe job. Over budget →
+    # every dim join below plans a shuffle join instead (degrade, don't die).
+    counts = stats.get("kind_counts", {})
+    # counts of the materialized vocab frames are cheap (checkpointed blocks)
+    vocab_n = (
+        m_stubs.count() + types.count() + decl_stubs.count() + ns_nodes.count()
+        + sum(counts.get(k, 0) for k in ("METHOD", "TYPE_DECL", "MEMBER", "FILE"))
+    )
+    stats["vocab_n"] = vocab_n
 
     # edge projections of the materialized vocabulary frames (cheap, lazy)
     m_stub_edges = (
@@ -225,13 +242,6 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
     )
     ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
                              F.col("node_id").alias("ns_id"))
-    ns_edges = (
-        nodes0.filter(F.col("kind") == "NAMESPACE_BLOCK")
-        .join(F.broadcast(ns_dim), F.col("name") == F.col("ns_name"))
-        .select(F.col("node_id").alias("src"), F.col("ns_id").alias("dst"),
-                F.lit("REF").alias("kind"), F.lit("").alias("variable"),
-                "doc_id", F.lit(None).cast("long").alias("method_id"))
-    )
 
     nodes = (
         nodes0.unionByName(types).unionByName(decl_stubs)
@@ -244,58 +254,64 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans, dicts,
     )
     kernel_edges = kernel_out.filter(F.col("kind") != "_TYPE_HINT")
 
-    base_edges = (
-        edges0.unionByName(m_stub_edges)
-        .unionByName(param_ast).unionByName(param_link)
-        .unionByName(type_ref_pass(types, nodes0))
-        .unionByName(eval_type_pass(nodes, types))
-        .unionByName(field_access_linker(nodes0, edges0, recovered=recovered))
-        .unionByName(method_ref_linker(nodes))
-        .unionByName(macro_ref_linker(nodes0))
-        .unionByName(ns_edges)
-    )
+    from .operators.dims import budgeted_broadcast
+    from .operators.callgraph import link_calls
 
-    # ---- stage: callgraph (INHERITS_FROM lives in the parse edges, so the
-    # closure reads edges0 — never forces the base-edge join branches)
-    from .operators.callgraph import prefer_internal_call_edges
+    with dim_fits_hint(vocab_n <= MAX_BROADCAST_DIM):
+        ns_edges = (
+            nodes0.filter(F.col("kind") == "NAMESPACE_BLOCK")
+            .join(budgeted_broadcast(ns_dim), F.col("name") == F.col("ns_name"))
+            .select(F.col("node_id").alias("src"), F.col("ns_id").alias("dst"),
+                    F.lit("REF").alias("kind"), F.lit("").alias("variable"),
+                    "doc_id", F.lit(None).cast("long").alias("method_id"))
+        )
+        base_edges = (
+            edges0.unionByName(m_stub_edges)
+            .unionByName(param_ast).unionByName(param_link)
+            .unionByName(type_ref_pass(types, nodes0))
+            .unionByName(eval_type_pass(nodes, types))
+            .unionByName(field_access_linker(nodes0, edges0, recovered=recovered))
+            .unionByName(method_ref_linker(nodes))
+            .unionByName(macro_ref_linker(nodes0))
+            .unionByName(ns_edges)
+        )
 
-    static_edges = static_call_linker(nodes)
-    ambiguous = dynamic_call_linker(nodes, edges0)
-    ambiguous = ambiguous.unionByName(type_hint_call_linker(
-        nodes0, edges0, static_edges.unionByName(ambiguous), recovered=recovered))
-    ambiguous = ambiguous.unionByName(
-        naive_call_linker(nodes, static_edges.unionByName(ambiguous)))
-    call_edges = static_edges.unionByName(
-        prefer_internal_call_edges(ambiguous, nodes))
+        # ---- stage: callgraph — static + CHA + hint + naive candidates
+        # arbitrated in ONE pass (no anti-join cascade, no re-evaluation;
+        # INHERITS_FROM lives in the parse edges, so the closure reads edges0)
+        call_edges = link_calls(nodes, edges0, recovered=recovered)
 
-    # ---- stage: edges materialization — ONE narrow columnar write
-    edges_all = base_edges.unionByName(kernel_edges).unionByName(call_edges)
-    t2 = time.time()
-    edges = spill.write(edges_all, "edges")
-    stats["t_edges_spill"] = round(time.time() - t2, 2)
-    if out_dir:
-        append_lineage(spark, out_dir,
-                       edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
-                       "edges", t2)
-        write_manifest(out_dir, "edges", list(range(n_parts)), complete=True)
-        t1 = time.time()
-        nodes = spill.write(nodes, "nodes")
-        append_lineage(spark, out_dir,
-                       nodes.withColumn("part_id", part_id_col(n_parts=n_parts)),
-                       "base_nodes", t1)
-        write_manifest(out_dir, "base", list(range(n_parts)), complete=True)
+        # ---- stage: edges materialization — ONE narrow columnar write of the
+        # base+call edges; the (larger) kernel edges are ALREADY columnar on
+        # disk from the kernel job and are never copied again
+        t2 = time.time()
+        base_call = spill.write(base_edges.unionByName(call_edges), "edges_base_call")
+        stats["t_edges_spill"] = round(time.time() - t2, 2)
+        edges = kernel_edges.unionByName(base_call)
+        if out_dir:
+            append_lineage(spark, out_dir,
+                           edges.withColumn("part_id", part_id_col(n_parts=n_parts)),
+                           "edges", t2)
+            write_manifest(out_dir, "edges", list(range(n_parts)), complete=True)
+            t1 = time.time()
+            nodes = spill.write(nodes, "nodes")
+            append_lineage(spark, out_dir,
+                           nodes.withColumn("part_id", part_id_col(n_parts=n_parts)),
+                           "base_nodes", t1)
+            write_manifest(out_dir, "base", list(range(n_parts)), complete=True)
 
-    misses = link_misses(nodes, call_edges)
+        # calls that no linker resolved, from the materialized call edges
+        misses = link_misses(nodes, base_call.filter(F.col("kind") == "CALL"))
 
-    # ---- stage: triples
-    triples = build_triples(nodes, edges, spans, n_parts=n_parts)
-    if out_dir:
+        # ---- stage: triples
         t3 = time.time()
-        triples_dir = os.path.join(out_dir, "triples")
-        triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_dir)
-        triples = spark.read.parquet(triples_dir)
-        append_lineage(spark, out_dir, triples, "triples", t3)
-        write_manifest(out_dir, "triples", list(range(n_parts)), complete=True)
+        triples = build_triples(nodes, edges, spans, n_parts=n_parts)
+        if out_dir:
+            triples_dir = os.path.join(out_dir, "triples")
+            triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_dir)
+            triples = spark.read.parquet(triples_dir)
+            append_lineage(spark, out_dir, triples, "triples", t3)
+            write_manifest(out_dir, "triples", list(range(n_parts)), complete=True)
 
     return CpgResult(nodes=nodes, edges=edges, spans=spans, triples=triples,
                      link_misses=misses, stats=stats)

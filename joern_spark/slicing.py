@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .operators.dims import budgeted_broadcast
+
 SLICE_DEPTH_DEFAULT = 20  # DataFlowConfig.sliceDepth default
 
 
@@ -59,7 +61,7 @@ def data_flow_slice(nodes: DataFrame, edges: DataFrame,
     )
     slice_nodes = (
         visited.join(nodes, "node_id")
-        .join(F.broadcast(methods), "method_id", "left")
+        .join(budgeted_broadcast(methods), "method_id", "left")
         .select(
             "node_id", "kind", "code",
             F.coalesce("parent_method", F.lit("")).alias("parent_method"),

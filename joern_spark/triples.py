@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .operators.dims import budgeted_broadcast
+
 N_PARTS_DEFAULT = 32
 
 _PROP_COLUMNS = ["name", "full_name", "code", "signature", "dispatch_type"]
@@ -64,7 +66,7 @@ def build_triples(nodes: DataFrame, edges: DataFrame, spans: DataFrame,
     )
     media_t = (
         spans.filter(F.col("kind") == "media")
-        .join(F.broadcast(files), F.col("doc_id") == F.col("f_doc"))
+        .join(budgeted_broadcast(files), F.col("doc_id") == F.col("f_doc"))
         .select(
             F.col("file_id").cast("string").alias("subj"),
             F.lit("media_ref").alias("pred"),

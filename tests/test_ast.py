@@ -118,6 +118,40 @@ def test_enum_initializer_no_phantom_members():
     assert members == ["A", "B", "C"]
 
 
+def test_enum_initializer_paren_depth():
+    """enum E { A = MAX(X, Y), B }: the ',' inside the parenthesized
+    initializer must not end the skip — Y is not a MEMBER (round-2 ADVICE)."""
+    from joern_spark.frontend.c_parser import CParser
+
+    members = [
+        n.name
+        for top in CParser(
+            "enum E { A = MAX(X, Y), B };").parse_translation_unit()
+        for n in top.walk() if n.kind == "MEMBER"
+    ]
+    assert members == ["A", "B"]
+
+
+def test_method_ref_retagging_respects_shadowing():
+    """A local/parameter that shadows a function name keeps its IDENTIFIER
+    kind; non-shadowed uses still become METHOD_REF (round-2 ADVICE)."""
+    from joern_spark.frontend.lowering import lower_doc
+
+    code = (
+        "void cb() { }\n"
+        "int use() { int cb = 1; cb = cb + 2; return cb; }\n"
+        "int take() { int x = 0; x = go(cb); return x; }\n"
+    )
+    nodes, _edges, _spans = lower_doc("d", [
+        {"kind": "code", "text": code, "media_ref": "", "offset": 0}])
+    by_kind = {}
+    for r in nodes:
+        by_kind.setdefault(r["kind"], []).append(r["name"])
+    # use(): all three shadowed cb uses stay IDENTIFIER
+    assert by_kind.get("METHOD_REF", []).count("cb") == 1  # only in take()
+    assert by_kind["IDENTIFIER"].count("cb") >= 3
+
+
 def test_struct_member_stars_bind_per_declarator():
     from joern_spark.frontend.c_parser import CParser
 

@@ -92,6 +92,23 @@ def test_reference_flow_goldens(cpg, q):
     assert len(flow_result_pairs(cpg.nodes, flows2)) in (7, 8)
 
 
+def test_interprocedural_literal_to_callee_flows(cpg, g):
+    """Flows-API mirror of test_interprocedural_literal_to_callee (round-2
+    ADVICE): when the SOURCE is exactly the stitch landing node (the caller
+    argument 42), the path must still be returned — the kernel emits a
+    length-1 source segment for it."""
+    nodes = g.doc_nodes(F3)
+    lit = nodes[(nodes["kind"] == "LITERAL") & (nodes["code"] == "42")]
+    x_arg = nodes[(nodes["kind"] == "IDENTIFIER") & (nodes["name"] == "x")]
+    spark = cpg.nodes.sparkSession
+    sources = spark.createDataFrame([(int(i),) for i in lit.index], "node_id long")
+    sinks = spark.createDataFrame([(int(i),) for i in x_arg.index], "node_id long")
+    paths = reachable_by_flows(cpg.nodes, cpg.edges, sinks, sources)
+    lit_ids = {int(i) for i in lit.index}
+    x_ids = {int(i) for i in x_arg.index}
+    assert any(p[0] in lit_ids and p[-1] in x_ids for p in paths)
+
+
 def test_flows_path_reconstruction(cpg, g):
     nodes = g.doc_nodes(F1)
     p0 = nodes[nodes["kind"] == "METHOD_PARAMETER_IN"]
