@@ -76,6 +76,32 @@ class UseDyn {
   }
 }"""
 
+F13_APP_JS = """const util = require('my_utils');
+function greet(name) {
+  let msg = 'hi ' + name;
+  log(msg);
+  return msg;
+}
+function use(obj) {
+  return obj.render(1);
+}
+class Wid {
+  render(x) { return x + 1; }
+  tally(x) { return x * 3; }
+}
+class WidSub extends Wid {
+  render(x) { return x + 2; }
+}
+let h = new Wid();
+let r = h.render(41);
+let v = h.data;
+let w = h['data'];
+let a = new Wid();
+let b = a;
+let z = b.tally(2);
+greet('bob');
+"""
+
 F9_TRY_CPP = """int try1() { try { a; } catch (int x) { b; } }
 int try3() {
   try { c; } catch (short u) { d; } catch (int v) { e; } catch (long w) { f; }
@@ -137,6 +163,9 @@ def fixture_docs() -> list[dict]:
         {"doc_id": "fixtures/java/Hint.java", "spans": split_code_spans(F11_HINT_JAVA, 2)},
         # F12: fork-specific macro model (MACRO_DECL / MACRO_REF)
         {"doc_id": "fixtures/c/macro", "spans": split_code_spans(F12_MACRO_C, 2)},
+        # F13: jssrc-mini — :program method, untyped receivers (naive/hint
+        # linker workload), CHA over extends, require → IMPORT/DEPENDENCY
+        {"doc_id": "fixtures/js/app.js", "spans": split_code_spans(F13_APP_JS, 3)},
     ]
     return docs
 

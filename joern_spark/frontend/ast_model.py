@@ -62,6 +62,9 @@ BINARY_OPERATOR_NAMES = {
     "%": "<operator>.modulo",
     "==": "<operator>.equals",
     "!=": "<operator>.notEquals",
+    # JS strict (jssrc2cpg AstForExpressionsCreator.scala:261-268)
+    "===": "<operator>.equals",
+    "!==": "<operator>.notEquals",
     "<": "<operator>.lessThan",
     ">": "<operator>.greaterThan",
     "<=": "<operator>.lessEqualsThan",

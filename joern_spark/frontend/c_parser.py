@@ -43,7 +43,7 @@ _BIN_LEVELS = [
     ["|"],
     ["^"],
     ["&"],
-    ["==", "!="],
+    ["==", "!=", "===", "!=="],
     ["<", ">", "<=", ">="],
     ["<<", ">>"],
     ["+", "-"],

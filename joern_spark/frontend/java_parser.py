@@ -278,7 +278,7 @@ class JavaParser(CParser):
                 self.eat()  # (
                 recv_type = self._receiver_type(node)
                 dispatch = DYNAMIC_DISPATCH
-                full = f"{recv_type}.{meth.text}" if recv_type else f"<unknown>.{meth.text}"
+                full = self._dyn_full(recv_type, meth.text)
                 call = AstNode(kind="CALL", name=meth.text, full_name=full,
                                dispatch_type=dispatch, pos=meth.pos, line=meth.line)
                 node.argument_index = 0
@@ -326,6 +326,9 @@ class JavaParser(CParser):
             if not self.accept(","):
                 break
         self.expect(")")
+
+    def _dyn_full(self, recv_type: str, meth: str) -> str:
+        return f"{recv_type}.{meth}" if recv_type else f"<unknown>.{meth}"
 
     def _receiver_type(self, node: AstNode) -> str:
         if node.kind == "IDENTIFIER":

@@ -1,0 +1,231 @@
+"""Mini JavaScript frontend (jssrc2cpg analog) for the fixture subset.
+
+Substitutes the reference's ``jssrc2cpg`` (Babel-based,
+``JsSrc2Cpg.scala:29-65`` pass pipeline) for: ``function`` declarations,
+``class``/``extends`` with untyped methods, ``var``/``let``/``const``
+locals, ``new X()`` allocation, ``require('mod')`` / ``import … from 'mod'``
+dependencies, and untyped receiver calls.
+
+Lowering conventions follow jssrc2cpg:
+
+- file-level statements live in a synthetic ``:program`` METHOD
+  (``AstCreator.scala:108-126`` ``:program`` convention);
+- ``obj.f(x)`` is a DYNAMIC_DISPATCH call whose receiver is argument 0; the
+  method full name is unknown at parse time unless the declared-type lattice
+  knows the receiver (``new`` assignment), mirroring
+  ``AstForExpressionsCreator.handleCallNodeArgs``. Unresolved calls are the
+  NaiveCallLinker / XTypeRecovery-hint workload by design;
+- ``a.b`` → ``<operator>.fieldAccess``, ``a[b]`` → ``<operator>.indexAccess``
+  (``createFieldAccessCallAst`` / ``createIndexAccessCallAst``);
+- ``new X()`` → ``<operator>.alloc`` typed ``X``
+  (``astForNewExpression``, ``AstForExpressionsCreator.scala:113-130``);
+- ``require('m')``/``import … from 'm'`` → IMPORT nodes feeding
+  DependenciesPass (``DependenciesPass.scala:14-35``).
+"""
+
+from __future__ import annotations
+
+from .ast_model import OP_ALLOC, AstNode, STATIC_DISPATCH, operator_call
+from .java_parser import JavaParser
+from .tokenizer import Token
+
+_JS_DECL = ("var", "let", "const")
+
+
+def _str_arg(call: AstNode) -> str:
+    for c in call.children:
+        if c.kind == "LITERAL" and c.code[:1] in "\"'":
+            return c.code.strip("\"'")
+    return ""
+
+
+class JsParser(JavaParser):
+    # JS has no type syntax: every typed-declaration heuristic is off; locals
+    # arrive via var/let/const keywords instead.
+    def at_type(self, k: int = 0) -> bool:
+        return False
+
+    def parse_type(self) -> str:
+        return ""
+
+    # --- entry ---------------------------------------------------------------
+    def parse_translation_unit(self) -> list[AstNode]:
+        out: list[AstNode] = []
+        prog = AstNode(kind="METHOD", name=":program", full_name=":program",
+                       code=":program", signature="void()", pos=0, line=1)
+        body = AstNode(kind="BLOCK", pos=0, line=1)
+        while self.peek() is not None:
+            start_i = self.i
+            t = self.peek()
+            if t.text == "function":
+                out.append(self.parse_js_function())
+            elif t.text == "class":
+                node = self.parse_class()
+                if node is not None:
+                    out.append(node)
+            elif t.text == "import":
+                imp = self.parse_js_import()
+                if imp is not None:
+                    out.append(imp)
+            else:
+                for st in self.parse_statement():
+                    body.add(st)
+            if self.i == start_i:
+                self.eat()
+        if body.children:
+            prog.add(body, order=1)
+            prog.add(AstNode(kind="METHOD_RETURN", code="RET",
+                             type_full_name="ANY", pos=0, line=1), order=2)
+            out.append(prog)
+        # CommonJS requires anywhere in the tree → IMPORT tops
+        imports: list[AstNode] = []
+        seen: set[str] = set()
+        for top in out:
+            for n in top.walk():
+                if n.kind == "CALL" and n.name == "require":
+                    mod = _str_arg(n)
+                    if mod and mod not in seen:
+                        seen.add(mod)
+                        imports.append(AstNode(
+                            kind="IMPORT", name=mod, full_name=mod,
+                            code=f"require('{mod}')", pos=n.pos, line=n.line))
+        return imports + out
+
+    def parse_js_import(self) -> AstNode | None:
+        t = self.eat()  # 'import'
+        mod = ""
+        while self.peek() is not None and not self.at(";"):
+            tok = self.eat()
+            if tok.kind in ("str", "char"):
+                mod = tok.text.strip("\"'")
+        self.accept(";")
+        if not mod:
+            return None
+        return AstNode(kind="IMPORT", name=mod, full_name=mod,
+                       code=f"import '{mod}'", pos=t.pos, line=t.line)
+
+    def parse_js_function(self) -> AstNode:
+        start = self.eat()  # 'function'
+        name_tok = self.eat() if self.at_kind("ident") else Token(
+            "ident", "<lambda>", start.pos, start.line)
+        prev_vars = self.var_types
+        self.var_types = {}
+        m = self.parse_function("", name_tok, start)
+        if self.current_class:
+            m.full_name = f"{self.current_class}.{name_tok.text}"
+        self.var_types = prev_vars
+        return m
+
+    # class methods have no return type: `f(a) { … }` — JavaParser's member
+    # loop already handles that once parse_type yields "" (name, then "(")
+
+    # --- statements ----------------------------------------------------------
+    def parse_statement(self) -> list[AstNode]:
+        t = self.peek()
+        if t is not None and t.text in _JS_DECL and self.at_kind("ident", 1):
+            return self.parse_js_declaration()
+        if t is not None and t.text == "function":
+            return [self.parse_js_function()]
+        return super().parse_statement()
+
+    def parse_js_declaration(self) -> list[AstNode]:
+        start = self.eat()  # var | let | const
+        out: list[AstNode] = []
+        while self.at_kind("ident"):
+            name_tok = self.eat()
+            local = AstNode(kind="LOCAL", name=name_tok.text,
+                            code=f"{start.text} {name_tok.text}",
+                            pos=start.pos, line=name_tok.line,
+                            type_full_name="ANY")
+            out.append(local)
+            if self.accept("="):
+                rhs = self.parse_assignment_expr()
+                lhs = AstNode(kind="IDENTIFIER", name=name_tok.text,
+                              code=name_tok.text, pos=name_tok.pos,
+                              line=name_tok.line, type_full_name="ANY")
+                if rhs is not None and rhs.type_full_name:
+                    # declared-type seed for the hint linker: `x = new A()`
+                    local.type_full_name = rhs.type_full_name
+                    lhs.type_full_name = rhs.type_full_name
+                    self.var_types[name_tok.text] = rhs.type_full_name
+                call = operator_call(
+                    "<operator>.assignment",
+                    self.text[name_tok.pos:self._prev_end()].strip(),
+                    name_tok.pos, name_tok.line)
+                call.add(lhs, order=1, argument_index=1)
+                if rhs is not None:
+                    call.add(rhs, order=2, argument_index=2)
+                out.append(call)
+            if not self.accept(","):
+                break
+        self.accept(";")
+        return out
+
+    # --- expressions ----------------------------------------------------------
+    def parse_unary(self) -> AstNode | None:
+        t = self.peek()
+        if t is not None and t.text == "new":
+            # astForNewExpression: Operators.alloc typed by the constructed
+            # class (AstForExpressionsCreator.scala:113-130)
+            self.eat()
+            cls = self.eat().text if self.at_kind("ident") else "ANY"
+            call = AstNode(kind="CALL", name=OP_ALLOC, full_name=OP_ALLOC,
+                           dispatch_type=STATIC_DISPATCH, type_full_name=cls,
+                           pos=t.pos, line=t.line)
+            if self.at("("):
+                self.eat()
+                self._parse_args(call)
+            call.code = self.text[t.pos:self._prev_end()].strip()
+            return call
+        return super().parse_unary()
+
+    def _dyn_full(self, recv_type: str, meth: str) -> str:
+        # unknown receiver → bare-name call: no dot, so CHA skips it and no
+        # `<unknown>.x` stub materializes — the call is NaiveCallLinker /
+        # type-hint workload (jssrc2cpg leaves methodFullName a placeholder,
+        # AstForExpressionsCreator.handleCallNodeArgs)
+        return f"{recv_type}.{meth}" if recv_type and recv_type != "ANY" else meth
+
+    def _receiver_type(self, node: AstNode) -> str:
+        # no static class-name dispatch in JS: an uppercase identifier is just
+        # a variable unless the declared-type lattice knows it
+        if node.kind == "IDENTIFIER":
+            if node.name == "this":
+                return self.current_class
+            recv = self.var_types.get(node.name, "")
+            return "" if recv == "ANY" else recv
+        if node.kind == "CALL" and node.type_full_name:
+            return node.type_full_name
+        return ""
+
+    def parse_postfix(self) -> AstNode | None:
+        # JavaParser's postfix handles bare calls / method calls / field
+        # access; JS adds computed access `a[b]` back (Java drops it because
+        # its array types eat the brackets)
+        start = self.peek()
+        node = super().parse_postfix()
+        while node is not None and self.peek() is not None and self.at("["):
+            from .ast_model import OP_INDEX_ACCESS
+
+            self.eat()
+            idx_expr = self.parse_expr()
+            self.expect("]")
+            call = operator_call(OP_INDEX_ACCESS, "", start.pos, start.line)
+            call.add(node, order=1, argument_index=1)
+            if idx_expr is not None:
+                call.add(idx_expr, order=2, argument_index=2)
+            call.code = self.text[start.pos:self._prev_end()].strip()
+            node = call
+        return node
+
+    def parse_primary(self) -> AstNode | None:
+        t = self.peek()
+        if t is not None and t.kind in ("str", "char"):
+            self.eat()
+            return AstNode(kind="LITERAL", code=t.text, pos=t.pos, line=t.line,
+                           type_full_name="string")
+        return super().parse_primary()
+
+
+def parse_js(text: str) -> list[AstNode]:
+    return JsParser(text).parse_translation_unit()

@@ -21,6 +21,8 @@ from .ast_model import AstNode
 from .c_parser import parse_c
 
 _JAVA_HINT = re.compile(r"\bclass\s+\w+|\bpublic\s+class\b|\binterface\s+\w+")
+_JS_HINT = re.compile(
+    r"\bfunction\s+\w+\s*\(|\b(?:let|const|var)\s+\w+\s*=|\brequire\s*\(")
 # fork-specific macro model (NodeTypeStarters.scala:180-190): the tokenizer
 # drops preprocessor lines, so #define declarations are lifted here
 _DEFINE_RE = re.compile(
@@ -39,7 +41,16 @@ _CONTAINS_ROOTS = {"METHOD", "TYPE_DECL", "FILE"}
 
 
 def detect_language(doc_id: str, text: str) -> str:
-    if doc_id.endswith(".java") or "/java" in doc_id or _JAVA_HINT.search(text):
+    if doc_id.endswith(".js") or "/js" in doc_id:
+        return "js"
+    if doc_id.endswith(".java") or "/java" in doc_id:
+        return "java"
+    # content sniff: the JS markers (function/let/const/require) never appear
+    # in the C/Java fixture subset, while `class X` appears in both Java and
+    # JS — so JS wins only on its own markers
+    if _JS_HINT.search(text):
+        return "js"
+    if _JAVA_HINT.search(text):
         return "java"
     return "c"
 
@@ -104,6 +115,9 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     if lang == "java":
         from .java_parser import parse_java
         tops = parse_java(text)
+    elif lang == "js":
+        from .js_parser import parse_js
+        tops = parse_js(text)
     else:
         tops = parse_c(text)
 

@@ -28,6 +28,7 @@ TYPE_KEYWORDS = {
 
 # multi-char operators first (longest match wins)
 _OPERATORS = [
+    "===", "!==", "=>",
     "<<=", ">>=", "...", "->", "++", "--", "<<", ">>", "<=", ">=", "==", "!=",
     "&&", "||", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "?", ":",
     "+", "-", "*", "/", "%", "<", ">", "=", "!", "&", "|", "^", "~", ".", ",",
@@ -41,7 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<pp>\#[^\n]*)
   | (?P<num>0[xX][0-9a-fA-F]+[uUlL]*|\d+\.\d+[fF]?|\d+[uUlL]*[fF]?)
   | (?P<str>"(?:\\.|[^"\\])*")
-  | (?P<char>'(?:\\.|[^'\\])')
+  | (?P<char>'(?:\\.|[^'\\])*')
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>%s)
     """

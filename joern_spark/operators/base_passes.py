@@ -223,6 +223,29 @@ def dependency_pass(nodes: DataFrame) -> DataFrame:
     return imports.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
 
 
+def imports_linker(nodes: DataFrame, deps: DataFrame) -> DataFrame:
+    """IMPORTS edges IMPORT → DEPENDENCY (jssrc2cpg
+    ``AstForDeclarationsCreator.scala:333`` ``EdgeTypes.IMPORTS``).
+
+    The dependency dim is vocabulary-sized (one row per distinct imported
+    name), so the join broadcasts under the budget and degrades to a shuffle
+    join above it."""
+    imports = nodes.filter(F.col("kind") == "IMPORT").select(
+        F.col("node_id").alias("src"), F.col("name").alias("dep_name"),
+        "doc_id", "method_id",
+    )
+    dep_dim = deps.select(F.col("name").alias("dep_name"),
+                          F.col("node_id").alias("dep_id"))
+    return (
+        imports.join(budgeted_broadcast(dep_dim), "dep_name")
+        .select(
+            "src", F.col("dep_id").alias("dst"),
+            F.lit("IMPORTS").alias("kind"), F.lit("").alias("variable"),
+            "doc_id", "method_id",
+        )
+    )
+
+
 def macro_ref_linker(nodes: DataFrame) -> DataFrame:
     """REF edges: MACRO_REF (object-like use) and CALL (function-like use) →
     same-document MACRO_DECL, keyed on (doc_id, name). Fork-specific node

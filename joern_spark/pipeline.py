@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from .lineage import append_lineage, read_manifest, write_manifest
 from .operators.ast_pass import parse_docs, split_rows
 from .operators.base_passes import (
+    dependency_pass,
     eval_type_pass,
+    imports_linker,
     macro_ref_linker,
     method_stubs,
     namespace_pass,
@@ -181,6 +183,9 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
         ns_nodes, _ = namespace_pass(nodes0)
         return ns_nodes.localCheckpoint(eager=True)
 
+    def deps_job():
+        return dependency_pass(nodes0).localCheckpoint(eager=True)
+
     t_pool = time.time()
 
     def timed(name, fn):
@@ -191,16 +196,18 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
             return out
         return run
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         kernel_f = pool.submit(timed("kernel", kernel_job))
         types_f = pool.submit(timed("types", types_job))
         stubs_f = pool.submit(timed("stubs", stubs_job))
         params_f = pool.submit(timed("params", params_job))
         ns_f = pool.submit(timed("ns", ns_job))
+        deps_f = pool.submit(timed("deps", deps_job))
         types, decl_stubs = types_f.result()
         m_stubs = stubs_f.result()
         param_outs = params_f.result()
         ns_nodes = ns_f.result()
+        dep_nodes = deps_f.result()
         kernel_out = kernel_f.result()
     stats["t_pool"] = round(time.time() - t_pool, 2)
     if kernel_out is None:
@@ -214,6 +221,7 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
     # counts of the materialized vocab frames are cheap (checkpointed blocks)
     vocab_n = (
         m_stubs.count() + types.count() + decl_stubs.count() + ns_nodes.count()
+        + dep_nodes.count()
         + sum(counts.get(k, 0) for k in ("METHOD", "TYPE_DECL", "MEMBER", "FILE"))
     )
     stats["vocab_n"] = vocab_n
@@ -246,6 +254,7 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
     nodes = (
         nodes0.unionByName(types).unionByName(decl_stubs)
         .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
+        .unionByName(dep_nodes)
     )
 
     # recovery events came out of the kernel as _TYPE_HINT rows
@@ -273,6 +282,7 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
             .unionByName(field_access_linker(nodes0, edges0, recovered=recovered))
             .unionByName(method_ref_linker(nodes))
             .unionByName(macro_ref_linker(nodes0))
+            .unionByName(imports_linker(nodes0, dep_nodes))
             .unionByName(ns_edges)
         )
 
@@ -333,13 +343,16 @@ def _run_dataframe(spark, cpg_rows, nodes0, edges0, spans,
     m_stubs, m_stub_edges = method_stubs(nodes0, edges0)
     param_outs, param_edges = parameter_out_pass(nodes0)
     ns_nodes, ns_edges = namespace_pass(nodes0)
+    dep_nodes = dependency_pass(nodes0)
     if not out_dir:
         m_stubs = m_stubs.persist()
         param_outs = param_outs.persist()
+        dep_nodes = dep_nodes.persist()
 
     nodes = (
         nodes0.unionByName(types).unionByName(decl_stubs)
         .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
+        .unionByName(dep_nodes)
     )
 
     if out_dir:
@@ -368,6 +381,7 @@ def _run_dataframe(spark, cpg_rows, nodes0, edges0, spans,
         .unionByName(field_access_linker(nodes0, edges0, recovered=recovered))
         .unionByName(method_ref_linker(nodes))
         .unionByName(macro_ref_linker(nodes0))
+        .unionByName(imports_linker(nodes0, dep_nodes))
         .unionByName(ns_edges)
     )
 

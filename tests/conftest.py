@@ -101,3 +101,4 @@ F9 = "fixtures/c/try"
 F10 = "fixtures/c/fnptr"
 F11 = "fixtures/java/Hint.java"
 F12 = "fixtures/c/macro"
+F13 = "fixtures/js/app.js"

@@ -1,0 +1,107 @@
+"""jssrc-mini frontend (F13): :program method, untyped-receiver linking.
+
+Reference parity targets: ``JsSrc2Cpg.scala:29-65`` pass pipeline,
+``AstForExpressionsCreator`` member/index access and ``Operators.alloc``,
+``DependenciesPass.scala:14-35`` DEPENDENCY universe, and the linker split:
+CHA for typed receivers, XTypeHintCallLinker for recovered ones,
+NaiveCallLinker for bare-name leftovers.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from joern_spark.frontend.lowering import detect_language, lower_doc
+
+F13 = "fixtures/js/app.js"
+
+
+def test_detect_language():
+    assert detect_language("a.js", "") == "js"
+    assert detect_language("d", "function f() { return 1; }") == "js"
+    assert detect_language("d", "const x = require('y');") == "js"
+    # `class X` alone stays Java (both languages use it; Java hint wins
+    # only when no JS marker is present)
+    assert detect_language("d", "class A { int f() { return 1; } }") == "java"
+
+
+def test_js_lowering_shape():
+    js = (
+        "const util = require('mod_a');\n"
+        "function fn(a) { let x = a + 1; return x; }\n"
+        "class K { m(y) { return y; } }\n"
+        "let k = new K();\n"
+        "let out = k.m(fn(2));\n"
+    )
+    nodes, edges, _ = lower_doc("d.js", [
+        {"kind": "code", "text": js, "media_ref": "", "offset": 0}])
+    by_kind = {}
+    for n in nodes:
+        by_kind.setdefault(n["kind"], []).append(n)
+    methods = {n["full_name"] for n in by_kind["METHOD"]}
+    assert {"fn", "K.m", ":program"} <= methods
+    assert [n["name"] for n in by_kind["IMPORT"]] == ["mod_a"]
+    ops = {n["name"] for n in by_kind["CALL"] if n["name"].startswith("<op")}
+    assert "<operator>.alloc" in ops
+    # `new K()` types the alloc; declaration transfers it to the local
+    locals_ = {n["name"]: n["type_full_name"] for n in by_kind["LOCAL"]}
+    assert locals_["k"] == "K"
+    # the typed receiver makes `k.m` a CHA-resolvable dynamic call
+    km = [n for n in by_kind["CALL"] if n["name"] == "m"]
+    assert km[0]["full_name"] == "K.m"
+    assert km[0]["dispatch_type"] == "DYNAMIC_DISPATCH"
+
+
+def test_js_member_index_access():
+    js = "let o = po;\nlet a = o.field;\nlet b = o['key'];\nlet c = o[2];\n"
+    nodes, _, _ = lower_doc("d.js", [
+        {"kind": "code", "text": js, "media_ref": "", "offset": 0}])
+    names = [n["name"] for n in nodes if n["kind"] == "CALL"]
+    assert names.count("<operator>.fieldAccess") == 1
+    assert names.count("<operator>.indexAccess") == 2
+
+
+@pytest.fixture(scope="module")
+def js_callgraph(cpg):
+    calls = cpg.edges.filter(F.col("kind") == "CALL").select("src", "dst")
+    n = cpg.nodes.filter(F.col("doc_id") == F13) \
+        .select("node_id", "code", "full_name")
+    nm = cpg.nodes.select("node_id", "full_name")
+    return {
+        (r["call_code"], r["callee"])
+        for r in calls
+        .join(n.selectExpr("node_id as src", "code as call_code"), "src")
+        .join(nm.selectExpr("node_id as dst", "full_name as callee"), "dst")
+        .collect()
+    }
+
+
+def test_js_linker_split(js_callgraph):
+    cg = js_callgraph
+    # CHA over `extends`: typed receiver links to the impl AND the override
+    assert ("h.render(41)", "Wid.render") in cg and ("h.render(41)", "WidSub.render") in cg
+    # assignment-transfer hint (XTypeRecovery): `b = a = new Impl()` receivers
+    # resolve through the recovered-type lattice — Impl.g only, no Sub
+    assert ("b.tally(2)", "Wid.tally") in cg
+    assert not any(code == "b.tally(2)" and callee != "Wid.tally"
+                   for code, callee in cg)
+    # bare-name leftover (NaiveCallLinker): untyped parameter receiver links
+    # to every internal same-name method, external stub pruned
+    assert ("obj.render(1)", "Wid.render") in cg and ("obj.render(1)", "WidSub.render") in cg
+    assert not any(code == "obj.render(1)" and callee not in ("Wid.render", "WidSub.render")
+                   for code, callee in cg)
+    # plain function call
+    assert ("greet('bob')", "greet") in cg
+
+
+def test_js_dependencies(cpg):
+    deps = {r["name"] for r in
+            cpg.nodes.filter(F.col("kind") == "DEPENDENCY").collect()}
+    assert "my_utils" in deps
+    # IMPORT --IMPORTS--> DEPENDENCY (DependenciesPass + EdgeTypes.IMPORTS)
+    imports = cpg.nodes.filter(
+        (F.col("kind") == "IMPORT") & (F.col("doc_id") == F13))
+    linked = (
+        cpg.edges.filter(F.col("kind") == "IMPORTS")
+        .join(imports.select(F.col("node_id").alias("src")), "src")
+    )
+    assert linked.count() == 1
