@@ -32,6 +32,21 @@ def _edges_of(edges: DataFrame, kind: str) -> DataFrame:
 def interproc_back_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Backward interprocedural hops (node_id, prev_id):
     param ← caller argument and call-site ← callee RETURN/METHOD_RETURN."""
+    return interproc_back_edges_tagged(nodes, edges).select("node_id", "prev_id")
+
+
+def interproc_back_edges_tagged(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Backward interprocedural hops with call-site provenance
+    (node_id, prev_id, hop_kind, call_id):
+
+    - ``hop_kind='arg'``: callee param ← caller argument at call ``call_id``
+      (backward traversal EXITS the callee) — the stitcher must pop a
+      matching call site, or have an empty stack (``TaskCreator.scala:54-70``
+      Case 1 / Case 2);
+    - ``hop_kind='ret'``: call-site ← callee RETURN/METHOD_RETURN (backward
+      traversal ENTERS the callee) — the stitcher pushes ``call_id``
+      (``TaskCreator.scala:131-135`` ``call :: callSiteStack``).
+    """
     call_edges = _edges_of(edges, "CALL").select(
         F.col("src").alias("call_id"), F.col("dst").alias("callee_id")
     )
@@ -55,7 +70,9 @@ def interproc_back_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         params.join(call_edges, "callee_id")
         .join(args, "call_id")
         .filter(F.col("p_index") == F.col("a_index"))
-        .select(F.col("param_id").alias("node_id"), F.col("arg_id").alias("prev_id"))
+        .select(F.col("param_id").alias("node_id"),
+                F.col("arg_id").alias("prev_id"),
+                F.lit("arg").alias("hop_kind"), "call_id")
         .distinct()
     )
 
@@ -65,7 +82,10 @@ def interproc_back_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     call_to_return = (
         call_edges.join(returns, "callee_id")
-        .select(F.col("call_id").alias("node_id"), F.col("ret_id").alias("prev_id"))
+        .select(F.col("call_id").alias("node_id"),
+                F.col("ret_id").alias("prev_id"),
+                F.lit("ret").alias("hop_kind"),
+                F.col("call_id"))
         .distinct()
     )
     return param_to_arg.unionByName(call_to_return)
@@ -290,15 +310,21 @@ def reachable_by_flows_df(nodes: DataFrame, edges: DataFrame,
     # joins, and without lineage truncation the logical plan tree grows
     # multiplicatively until plan *stringification* alone overflows the driver
     seg = flow_segments(nodes, edges, sinks, sources).localCheckpoint(eager=True)
-    hops = interproc_back_edges(nodes, edges).select(
-        F.col("node_id").alias("from_id"), F.col("prev_id").alias("to_id")
+    hops = interproc_back_edges_tagged(nodes, edges).select(
+        F.col("node_id").alias("from_id"), F.col("prev_id").alias("to_id"),
+        "hop_kind", "call_id",
     ).localCheckpoint(eager=True)
 
     sink_ids = sinks.select("node_id").distinct()
     base = seg.join(
         sink_ids.withColumnRenamed("node_id", "entry_id"), "entry_id"
     ).select(
-        F.col("entry_id").alias("sink_id"), "exit_id", "exit_role", "path"
+        F.col("entry_id").alias("sink_id"), "exit_id", "exit_role", "path",
+        # realizable-path call-site stack (TaskCreator.scala:54-100): which
+        # call sites the backward walk has ENTERED (via call←return) and not
+        # yet exited; an arg hop must pop a matching site or run on an empty
+        # stack (unbalanced prefix: the walk started inside the callee)
+        F.array().cast("array<long>").alias("stack"),
     )
 
     # trivial flow: a sink that itself satisfies the source predicate
@@ -318,15 +344,27 @@ def reachable_by_flows_df(nodes: DataFrame, edges: DataFrame,
         F.col("exit_role").alias("n_role"),
         F.col("path").alias("n_path"),
     )
+    realizable = (
+        (F.col("hop_kind") == "ret")
+        | (F.size("stack") == 0)
+        | (F.expr("try_element_at(stack, -1)") == F.col("call_id"))
+    )
+    next_stack = (
+        F.when(F.col("hop_kind") == "ret",
+               F.concat(F.col("stack"), F.array(F.col("call_id"))))
+        .otherwise(F.expr("slice(stack, 1, greatest(size(stack) - 1, 0))"))
+    )
     for _ in range(max_call_depth):
         nxt = (
             open_.join(hops, open_["exit_id"] == hops["from_id"])
+            .filter(realizable)
             .join(ext, "to_id")
             .select(
                 "sink_id",
                 F.col("n_exit").alias("exit_id"),
                 F.col("n_role").alias("exit_role"),
                 F.concat(F.col("n_path"), F.col("path")).alias("path"),
+                next_stack.alias("stack"),
             )
             .localCheckpoint(eager=True)
         )

@@ -121,3 +121,47 @@ def test_flows_path_reconstruction(cpg, g):
     # every returned path starts at the source and ends at the sink
     assert all(p[0] in set(int(i) for i in p0.index) for p in paths)
     assert all(p[-1] in set(int(i) for i in ret.index) for p in paths)
+
+
+@pytest.fixture(scope="module")
+def two_caller_cpg(spark):
+    """Two callers of the same identity function — the unrealizable
+    cross-caller flow detector fixture (TaskCreator.scala:54-100)."""
+    from joern_spark.corpus import docs_df
+    from joern_spark.pipeline import run_pipeline
+
+    src = (
+        "int id2(int x) { return x; }\n"
+        "void caller_a() { int a = id2(1); sink_a(a); }\n"
+        "void caller_b() { int b = id2(2); sink_b(b); }\n"
+    )
+    docs = docs_df(spark, [{"doc_id": "twocaller", "spans": [
+        {"kind": "code", "text": src, "media_ref": "", "offset": 0}]}])
+    return run_pipeline(spark, docs, n_parts=2)
+
+
+def test_realizable_paths_no_cross_caller_flow(two_caller_cpg):
+    """A flow entering id2 from caller_b's call site must exit back to
+    caller_b only: literal 2 reaches sink_b's argument, literal 1 does NOT
+    (the call-site stack kills the caller_a→id2→caller_b stitch)."""
+    import pyspark.sql.functions as F
+
+    res = two_caller_cpg
+    spark = res.nodes.sparkSession
+    lits = {r["code"]: r["node_id"] for r in
+            res.nodes.filter(F.col("kind") == "LITERAL").collect()}
+    sink_b_args = [r["node_id"] for r in res.nodes.filter(
+        (F.col("kind") == "IDENTIFIER") & (F.col("name") == "b")
+    ).join(
+        res.edges.filter(F.col("kind") == "ARGUMENT")
+        .select(F.col("dst").alias("node_id")), "node_id"
+    ).collect()]
+    assert sink_b_args and "1" in lits and "2" in lits
+    sinks = spark.createDataFrame([(i,) for i in sink_b_args], "node_id long")
+    sources = spark.createDataFrame(
+        [(lits["1"],), (lits["2"],)], "node_id long")
+    paths = reachable_by_flows(res.nodes, res.edges, sinks, sources)
+    heads = {p[0] for p in paths}
+    assert lits["2"] in heads, "realizable caller_b flow must survive"
+    assert lits["1"] not in heads, \
+        "unrealizable caller_a->id2->caller_b stitch must be filtered"
