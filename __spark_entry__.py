@@ -149,8 +149,23 @@ def cpg_dominators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpg_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DependenciesPass surface: IMPORT --IMPORTS--> DEPENDENCY rows."""
+    res = _cpg(spark, sf_dir)
+    e = res.edges.filter(F.col("kind") == "IMPORTS")
+    imports = res.nodes.select(F.col("node_id").alias("src"), "doc_id",
+                               F.col("name").alias("import_name"))
+    deps = res.nodes.select(F.col("node_id").alias("dst"),
+                            F.col("full_name").alias("dep_name"))
+    return (
+        e.select("src", "dst").join(imports, "src").join(deps, "dst")
+        .select("doc_id", "import_name", "dep_name")
+    )
+
+
 _CPG_QUERIES = {
     "cpg_triples": cpg_triples,
+    "cpg_dependencies": cpg_dependencies,
     "cpg_reaching_def": cpg_reaching_def,
     "cpg_callgraph": cpg_callgraph,
     "cpg_cfg_edges": cpg_cfg_edges,

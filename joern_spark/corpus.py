@@ -102,6 +102,12 @@ let z = b.tally(2);
 greet('bob');
 """
 
+F14_PACKAGE_JSON = """{
+  "name": "fixture-app",
+  "version": "1.0.0",
+  "dependencies": { "my_utils": "^2.0.0" }
+}"""
+
 F9_TRY_CPP = """int try1() { try { a; } catch (int x) { b; } }
 int try3() {
   try { c; } catch (short u) { d; } catch (int v) { e; } catch (long w) { f; }
@@ -166,6 +172,9 @@ def fixture_docs() -> list[dict]:
         # F13: jssrc-mini — :program method, untyped receivers (naive/hint
         # linker workload), CHA over extends, require → IMPORT/DEPENDENCY
         {"doc_id": "fixtures/js/app.js", "spans": split_code_spans(F13_APP_JS, 3)},
+        # F14: config doc → CONFIG_FILE node (XConfigFileCreationPass)
+        {"doc_id": "fixtures/js/package.json",
+         "spans": split_code_spans(F14_PACKAGE_JSON, 2)},
     ]
     return docs
 

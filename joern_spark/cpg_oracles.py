@@ -71,32 +71,56 @@ parts AS (
            lpad(CAST(k % 1000000 AS VARCHAR), 6, '0') AS m6,
            CAST(k % 97 AS VARCHAR) AS an,
            CAST(k % 13 AS VARCHAR) AS bn,
-           (k % 5 = 0) AS has_media
+           CAST(k % 7 AS VARCHAR) AS cn,
+           lpad(CAST(k % 50 AS VARCHAR), 2, '0') AS nn,
+           (k % 5 = 0) AS has_media,
+           (k % 11 = 3) AS is_js
     FROM kk
 ),
 spans0 AS (
     SELECT did, 0 AS idx, 0 AS media_first, 'code' AS kind,
+           CASE WHEN is_js THEN
+           'const util = require(''pkg_' || nn || ''');' || {_NL} ||
+           'function helper_' || m6 || '(x) {{' || {_NL} ||
+           '  let s = x + ' || bn || ';' || {_NL} ||
+           '  log(s);'
+           ELSE
            'int main_' || m6 || '() {{' || {_NL} ||
            '  int a = ' || an || ';' || {_NL} ||
            '  int b = a + ' || bn || ';' || {_NL} ||
            '  char *buf = malloc(b);' || {_NL} ||
-           '  helper_' || m6 || '(a, b);' AS text,
+           '  helper_' || m6 || '(a, b);'
+           END AS text,
            '' AS media_ref
     FROM parts
     UNION ALL
     SELECT did, 1, 1, 'code',
+           CASE WHEN is_js THEN
+           '  return s;' || {_NL} ||
+           '}}' || {_NL} ||
+           'class W_' || m6 || ' {{' || {_NL} ||
+           '  run(v) {{ return v + ' || cn || '; }}'
+           ELSE
            '  printf(buf);' || {_NL} ||
            '  if (a > b) {{ a = b; }} else {{ b = a; }}' || {_NL} ||
            '  while (a > 0) {{ a--; }}' || {_NL} ||
            '  return b;' || {_NL} ||
-           '}}', ''
+           '}}'
+           END, ''
     FROM parts
     UNION ALL
     SELECT did, 2, 1, 'code',
+           CASE WHEN is_js THEN
+           '}}' || {_NL} ||
+           'let w = new W_' || m6 || '();' || {_NL} ||
+           'let t = w.run(' || an || ');' || {_NL} ||
+           'let u = helper_' || m6 || '(t);'
+           ELSE
            'void helper_' || m6 || '(int x, int y) {{' || {_NL} ||
            '  int s = x + y;' || {_NL} ||
            '  printf(s);' || {_NL} ||
-           '}}', ''
+           '}}'
+           END, ''
     FROM parts
     UNION ALL
     SELECT did, 1, 0, 'media', '', 'bin://artifact-' || did
@@ -169,6 +193,13 @@ WITH n AS (SELECT node_id, code, full_name FROM {_N}), e AS (SELECT * FROM {_E})
 SELECT e.doc_id, ns.code AS call_code, nd.full_name AS callee_full_name
 FROM e JOIN n ns ON e.src = ns.node_id JOIN n nd ON e.dst = nd.node_id
 WHERE e.kind = 'CALL'
+"""
+
+_DEPS_SQL = f"""
+WITH n AS (SELECT * FROM {_N}), e AS (SELECT * FROM {_E})
+SELECT ni.doc_id, ni.name AS import_name, nd.full_name AS dep_name
+FROM e JOIN n ni ON e.src = ni.node_id JOIN n nd ON e.dst = nd.node_id
+WHERE e.kind = 'IMPORTS'
 """
 
 # ---- canonicalization: connected components over the alias mention graph ---
@@ -332,6 +363,7 @@ ORACLES = {
     "cpg_reaching_def": _RD_SQL,
     "cpg_dominators": _DOM_SQL,
     "cpg_callgraph": _CALLGRAPH_SQL,
+    "cpg_dependencies": _DEPS_SQL,
     "cpg_canonical_symbols": _CANON_SQL,
     "cpg_vectors": _VECTORS_SQL,
     "cpg_scan_findings": _SCAN_SQL,

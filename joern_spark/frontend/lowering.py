@@ -32,6 +32,13 @@ _DEFINE_RE = re.compile(
 _INCLUDE_RE = re.compile(
     r"^[ \t]*#[ \t]*include[ \t]+[<\"]([^>\"\n]+)[>\"]", re.M,
 )
+# XConfigFileCreationPass filters (x2cpg/.../frontend/
+# XConfigFileCreationPass.scala:64-71 extension/pathEnd filters): config docs
+# become a CONFIG_FILE node (name + content) instead of a parse tree
+_CONFIG_RE = re.compile(
+    r"\.(json|xml|ya?ml|properties|toml|tfvars|tf|conf|cfg|ini|vm|jsp)$"
+    r"|(^|/)(MANIFEST\.MF|routes|Dockerfile)$"
+)
 
 # node kinds that own CONTAINS scopes (reference ContainsEdgePass.scala:20-28)
 _CONTAINS_ROOTS = {"METHOD", "TYPE_DECL", "FILE"}
@@ -110,6 +117,24 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
         span_offset=-1, filename=doc_id,
     )
     nodes.append(file_row)
+
+    is_key = doc_id.endswith(".key") and re.search(r"RSA\sPRIVATE\sKEY", text)
+    if _CONFIG_RE.search(doc_id) or is_key:
+        # XConfigFileCreationPass.runOnPart: NewConfigFile().name(..).content(..);
+        # .key files holding private keys get their content REDACTED
+        # (jssrc2cpg PrivateKeyFilePass.fileContent)
+        cfg = _empty_node_row()
+        cfg.update(
+            node_id=node_id(doc_id, -1, 1), doc_id=doc_id, kind="CONFIG_FILE",
+            name=doc_id, full_name=doc_id,
+            code="Content omitted for security reasons." if is_key else text,
+            order=1,
+            argument_index=0, line=1, span_offset=boundaries[0][1] if boundaries else 0,
+            is_external=False, media_ref="", parent_id=file_id, filename=doc_id,
+        )
+        nodes.append(cfg)
+        edges.append(_edge(file_id, cfg["node_id"], "AST", doc_id, None))
+        return nodes, edges, span_rows
 
     lang = detect_language(doc_id, text)
     if lang == "java":

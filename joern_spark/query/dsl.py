@@ -96,6 +96,18 @@ class Cpg:
             df = df.filter(F.col("full_name").rlike(full_name))
         return CpgQuery(self, df)
 
+    def config_file(self, name: str | None = None) -> "CpgQuery":
+        """CONFIG_FILE starter (NodeTypeStarters.configFile)."""
+        return self._scan("CONFIG_FILE", name)
+
+    def dependency(self, name: str | None = None) -> "CpgQuery":
+        """DEPENDENCY starter (NodeTypeStarters.dependency)."""
+        return self._scan("DEPENDENCY", name)
+
+    def imports(self, name: str | None = None) -> "CpgQuery":
+        """IMPORT starter (NodeTypeStarters.imports)."""
+        return self._scan("IMPORT", name)
+
     def macro_decl(self, name: str | None = None) -> "CpgQuery":
         """MACRO_DECL starter (fork NodeTypeStarters.macroDecl, :180-185)."""
         return self._scan("MACRO_DECL", name)

@@ -43,6 +43,29 @@ def code_for_key(k: int, helper: str) -> str:
     )
 
 
+def js_code_for_key(k: int, helper: str) -> str:
+    """Deterministic JS program for the jssrc-mini slice of the corpus
+    (``k % 11 == 3``): require → DEPENDENCY, a bare function (static link),
+    a class with a typed receiver call (CHA via alloc), and an untyped
+    ``log`` leftover (NaiveCallLinker). Mirrored line-for-line by the
+    cpg_span_provenance DuckDB oracle (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"const util = require('pkg_{k % 50:02d}');\n"
+        f"function {helper}(x) {{\n"
+        f"  let s = x + {k % 13};\n"
+        f"  log(s);\n"
+        f"  return s;\n"
+        f"}}\n"
+        f"class W_{m6} {{\n"
+        f"  run(v) {{ return v + {k % 7}; }}\n"
+        f"}}\n"
+        f"let w = new W_{m6}();\n"
+        f"let t = w.run({k % 97});\n"
+        f"let u = {helper}(t);"
+    )
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -60,7 +83,9 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
             for doc_id in pdf["doc_id"].astype(str):
                 k = synth_key(doc_id)
                 helper = f"helper_{k % 1000000:06d}"
-                spans = split_code_spans(code_for_key(k, helper), 3)
+                code = (js_code_for_key(k, helper) if k % 11 == 3
+                        else code_for_key(k, helper))
+                spans = split_code_spans(code, 3)
                 if k % 5 == 0:
                     spans = with_media(spans, [f"bin://artifact-{doc_id}"], [1])
                 rows.append(

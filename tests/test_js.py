@@ -105,3 +105,27 @@ def test_js_dependencies(cpg):
         .join(imports.select(F.col("node_id").alias("src")), "src")
     )
     assert linked.count() == 1
+
+
+def test_config_file_pass(cpg):
+    """F14 package.json → one CONFIG_FILE node carrying name + full content
+    (XConfigFileCreationPass.runOnPart), no parse tree."""
+    from joern_spark.corpus import F14_PACKAGE_JSON
+    from joern_spark.query import Cpg
+
+    doc = "fixtures/js/package.json"
+    cfg = cpg.nodes.filter(
+        (F.col("kind") == "CONFIG_FILE") & (F.col("doc_id") == doc))
+    rows = cfg.collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == doc
+    assert rows[0]["code"] == F14_PACKAGE_JSON
+    # no METHOD/CALL parse artifacts from a config doc
+    assert cpg.nodes.filter(
+        (F.col("doc_id") == doc) & F.col("kind").isin("METHOD", "CALL")
+    ).count() == 0
+    # DSL starter
+    q = Cpg(nodes=cpg.nodes, edges=cpg.edges)
+    assert q.config_file("package").to_df().count() == 1
+    assert q.dependency().to_df().count() >= 1
+    assert q.imports("my_utils").to_df().count() == 1
