@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,54 @@ def write_manifest(out_dir: str, stage: str, part_ids: list[int],
     with open(tmp, "w") as f:
         json.dump(doc, f)
     os.replace(tmp, p)
+
+
+def commit_snapshot(spark: SparkSession, df: DataFrame, out_dir: str,
+                    stage: str, part_ids: list[int],
+                    partition_by: str | None = None,
+                    keep_snapshots: int = 2) -> DataFrame:
+    """Iceberg-style atomic stage commit (snapshot + metadata-pointer flip).
+
+    Data always lands in a FRESH ``<stage>_data/snap-<n>`` directory — never
+    an in-place overwrite — and the stage manifest (itself flipped with an
+    atomic ``os.replace``) is only updated to point at the new snapshot after
+    the parquet write has fully completed. A process killed mid-write leaves
+    the previous snapshot untouched and still pointed-to: readers can never
+    observe a half-visible stage (Iceberg's snapshot/metadata.json commit
+    protocol; the reference's analog is the overlay ledger in
+    ``semanticcpg/.../Overlays.scala:65-103``, which is likewise
+    append-only-then-flip). Older snapshots beyond ``keep_snapshots`` are
+    retired after the flip, so a reader that resolved the previous pointer
+    mid-flight still finds its files.
+    """
+    data_root = os.path.join(out_dir, f"{stage}_data")
+    prev = read_manifest(out_dir, stage) or {}
+    snap = int(prev.get("snapshot", 0)) + 1
+    data_dir = os.path.join(data_root, f"snap-{snap:05d}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(data_dir)
+    write_manifest(out_dir, stage, part_ids, complete=True,
+                   extra={"snapshot": snap, "data_dir": data_dir})
+    for name in sorted(os.listdir(data_root)):
+        try:
+            n = int(name.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            continue
+        if n <= snap - keep_snapshots:
+            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+    return spark.read.parquet(data_dir)
+
+
+def read_snapshot(spark: SparkSession, out_dir: str, stage: str) -> DataFrame | None:
+    """Resolve a stage's current snapshot via its manifest pointer; ``None``
+    unless a complete snapshot is visible (torn writes are invisible: an
+    unflipped ``snap-*`` dir is never returned)."""
+    m = read_manifest(out_dir, stage)
+    if m and m.get("complete") and m.get("data_dir") and os.path.isdir(m["data_dir"]):
+        return spark.read.parquet(m["data_dir"])
+    return None
 
 
 def lineage_rows(df: DataFrame, stage: str, duration_ms: int,

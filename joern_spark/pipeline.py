@@ -36,7 +36,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .lineage import append_lineage, read_manifest, write_manifest
+from .lineage import (append_lineage, commit_snapshot, read_manifest,
+                      write_manifest)
 from .operators.ast_pass import parse_docs, split_rows
 from .operators.base_passes import (
     dependency_pass,
@@ -89,19 +90,26 @@ def run_pipeline(
         ast_dir = os.path.join(out_dir, "ast_rows")
         manifest = read_manifest(out_dir, "ast")
         done = set(manifest["part_ids"]) if manifest else set()
+        # committed batch dirs (snapshot semantics: "append" = a NEW batch
+        # dir + manifest flip, never an in-place append — a killed write
+        # leaves only an unreferenced dir, and resume re-parses cleanly
+        # without duplicating the torn batch's rows)
+        batch_dirs = list((manifest or {}).get("data_dirs")
+                          or ([ast_dir] if manifest else []))
         todo_docs = docs.filter(~F.col("part_id").isin(sorted(done))) if done else docs
         if done:
             stats["ast_resumed_parts"] = len(done)
-        # any remaining partitions are parsed and appended; completed ones are
-        # read back untouched (resume without recomputation)
         if todo_docs.limit(1).count() > 0 or not done:
             rows_new = parse_docs(todo_docs.repartition(n_parts, "doc_id")) \
                 .withColumn("part_id", part_id_col(n_parts=n_parts))
-            rows_new.write.mode("append").partitionBy("part_id").parquet(ast_dir)
+            batch_dir = os.path.join(ast_dir, f"batch-{len(batch_dirs) + 1:05d}")
+            rows_new.write.mode("overwrite").partitionBy("part_id").parquet(batch_dir)
+            batch_dirs.append(batch_dir)
             append_lineage(spark, out_dir, rows_new, "ast", t0)
             all_parts = [r[0] for r in docs.select("part_id").distinct().collect()]
-            write_manifest(out_dir, "ast", all_parts, complete=True)
-        cpg_rows = spark.read.parquet(ast_dir)
+            write_manifest(out_dir, "ast", all_parts, complete=True,
+                           extra={"data_dirs": batch_dirs})
+        cpg_rows = spark.read.parquet(*batch_dirs)
     else:
         cpg_rows = parse_docs(docs.repartition(min(n_parts, 32), "doc_id"))
         cpg_rows = cpg_rows.persist()
@@ -317,11 +325,11 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
         t3 = time.time()
         triples = build_triples(nodes, edges, spans, n_parts=n_parts)
         if out_dir:
-            triples_dir = os.path.join(out_dir, "triples")
-            triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_dir)
-            triples = spark.read.parquet(triples_dir)
+            # atomic snapshot commit: fresh snap dir + manifest-pointer flip
+            triples = commit_snapshot(spark, triples, out_dir, "triples",
+                                      list(range(n_parts)),
+                                      partition_by="part_id")
             append_lineage(spark, out_dir, triples, "triples", t3)
-            write_manifest(out_dir, "triples", list(range(n_parts)), complete=True)
 
     return CpgResult(nodes=nodes, edges=edges, spans=spans, triples=triples,
                      link_misses=misses, stats=stats)
@@ -433,11 +441,9 @@ def _run_dataframe(spark, cpg_rows, nodes0, edges0, spans,
     triples = build_triples(nodes, edges, spans, n_parts=n_parts)
     if out_dir:
         t3 = time.time()
-        triples_dir = os.path.join(out_dir, "triples")
-        triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_dir)
-        triples = spark.read.parquet(triples_dir)
+        triples = commit_snapshot(spark, triples, out_dir, "triples",
+                                  list(range(n_parts)), partition_by="part_id")
         append_lineage(spark, out_dir, triples, "triples", t3)
-        write_manifest(out_dir, "triples", list(range(n_parts)), complete=True)
 
     return CpgResult(nodes=nodes, edges=edges, spans=spans, triples=triples,
                      link_misses=misses, stats=stats)

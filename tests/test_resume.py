@@ -54,3 +54,45 @@ def test_resumed_output_identical(spark, out_dir):
     mat = run_pipeline(spark, docs, out_dir=out_dir, n_parts=4)
     mat_triples = {tuple(r) for r in mat.triples.select("subj", "pred", "obj").collect()}
     assert mem_triples == mat_triples
+
+
+def test_snapshot_commit_survives_torn_write(spark, out_dir):
+    """Iceberg-style commit protocol: a writer killed mid-snapshot leaves an
+    unreferenced snap dir that readers never observe (the manifest pointer
+    only flips after a complete write)."""
+    import json
+    import os
+
+    from joern_spark.corpus import fixture_docs_df
+    from joern_spark.lineage import read_manifest, read_snapshot
+
+    docs = fixture_docs_df(spark)
+    run_pipeline(spark, docs, out_dir=out_dir, n_parts=4)
+    m = read_manifest(out_dir, "triples")
+    assert m["complete"] and os.path.isdir(m["data_dir"])
+    n_committed = read_snapshot(spark, out_dir, "triples").count()
+    committed_dir = m["data_dir"]
+
+    # simulate a kill mid-write: a torn, never-flipped snapshot directory
+    torn = os.path.join(out_dir, "triples_data", "snap-99999")
+    os.makedirs(torn, exist_ok=True)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00torn write, not parquet")
+    # ...and a torn ast batch dir never referenced by the ast manifest
+    torn_ast = os.path.join(out_dir, "ast_rows", "batch-77777")
+    os.makedirs(torn_ast, exist_ok=True)
+    with open(os.path.join(torn_ast, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00also torn")
+
+    # readers resolve the pointer, not the directory listing: intact
+    assert read_snapshot(spark, out_dir, "triples").count() == n_committed
+
+    # a resumed run ignores both torn dirs (ast via manifest data_dirs,
+    # triples by committing a FRESH snapshot) and reproduces the same rows
+    res = run_pipeline(spark, docs, out_dir=out_dir, n_parts=4)
+    assert res.triples.count() == n_committed
+    m2 = read_manifest(out_dir, "triples")
+    assert m2["snapshot"] == m["snapshot"] + 1
+    assert m2["data_dir"] != committed_dir
+    ast_m = read_manifest(out_dir, "ast")
+    assert torn_ast not in ast_m["data_dirs"]
