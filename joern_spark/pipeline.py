@@ -103,7 +103,8 @@ def run_pipeline(
             rows_new = parse_docs(todo_docs.repartition(n_parts, "doc_id")) \
                 .withColumn("part_id", part_id_col(n_parts=n_parts))
             batch_dir = os.path.join(ast_dir, f"batch-{len(batch_dirs) + 1:05d}")
-            rows_new.write.mode("overwrite").partitionBy("part_id").parquet(batch_dir)
+            rows_new.write.mode("overwrite") \
+                .partitionBy("part_id", "rowtype").parquet(batch_dir)
             batch_dirs.append(batch_dir)
             append_lineage(spark, out_dir, rows_new, "ast", t0)
             all_parts = [r[0] for r in docs.select("part_id").distinct().collect()]
@@ -111,12 +112,19 @@ def run_pipeline(
                            extra={"data_dirs": batch_dirs})
         cpg_rows = spark.read.parquet(*batch_dirs)
     else:
-        cpg_rows = parse_docs(docs.repartition(min(n_parts, 32), "doc_id"))
-        cpg_rows = cpg_rows.persist()
-        # materialize NOW: downstream branches run as concurrent jobs —
-        # without this barrier they race to populate the cache and each
-        # re-runs the parse
-        cpg_rows.count()
+        # columnar parse barrier: the edges stage evaluates ~10 candidate
+        # branches, each re-scanning this frame — a deserialized row cache
+        # makes every scan pay all ~38 columns plus GC churn (measured FLAT
+        # 8→32), while a parquet spill gives each branch column pruning and
+        # a vectorized scan
+        # partition the spill by rowtype: the edges stage re-scans this frame
+        # from ~10 linker branches that each want only node rows (~20% of the
+        # stream) — directory-level pruning beats a rowtype filter that every
+        # scan would otherwise have to decode 100% of rows to apply
+        spill0 = SpillDir(None)
+        cpg_rows = spill0.write(
+            parse_docs(docs.repartition(min(n_parts, 32), "doc_id")),
+            "ast_rows", partition_by="rowtype", guard_contiguity=True)
         stats["t_parse"] = round(time.time() - t0, 2)
 
     nodes0, edges0, spans = split_rows(cpg_rows)
@@ -303,7 +311,12 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
         # base+call edges; the (larger) kernel edges are ALREADY columnar on
         # disk from the kernel job and are never copied again
         t2 = time.time()
-        base_call = spill.write(base_edges.unionByName(call_edges), "edges_base_call")
+        base_call_lazy = base_edges.unionByName(call_edges)
+        # split driver-side planning cost from execution (both inside the
+        # spill timing; planning a ~10-branch union-of-joins is serial)
+        base_call_lazy._jdf.queryExecution().executedPlan()
+        stats["t_edges_plan"] = round(time.time() - t2, 2)
+        base_call = spill.write(base_call_lazy, "edges_base_call")
         stats["t_edges_spill"] = round(time.time() - t2, 2)
         edges = kernel_edges.unionByName(base_call)
         if out_dir:

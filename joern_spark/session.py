@@ -41,6 +41,13 @@ def get_spark(
         # lineage-based ambiguity check misfires on those legitimate reuses
         .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     )
+    # profiling hook: SPARK_GRAFT_EVENTLOG=<dir> records the event log for
+    # per-stage attribution (tools/analyze_eventlog.py)
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", f"file://{ev_dir}"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -47,8 +47,17 @@ class SpillDir:
             _CLEANUP_DIRS.append(self.root)
             self._ephemeral = True
 
-    def write(self, df: DataFrame, name: str, partition_by: str | None = None) -> DataFrame:
-        """Write ``df`` to ``<root>/<name>`` (atomic rename) and read it back."""
+    def write(self, df: DataFrame, name: str, partition_by: str | None = None,
+              guard_contiguity: bool = False) -> DataFrame:
+        """Write ``df`` to ``<root>/<name>`` (atomic rename) and read it back.
+
+        ``guard_contiguity=True`` asserts no written file exceeds the
+        session's ``spark.sql.files.maxPartitionBytes``: the fused kernel
+        requires doc-contiguous input, which a read-back preserves only while
+        files are never split mid-file (a split partition would silently hand
+        the kernel half a document's rows). Violation = raise, not corrupt;
+        the fix is a larger ``n_parts``.
+        """
         spark = df.sparkSession
         final = os.path.join(self.root, name)
         tmp = os.path.join(self.root, f"{name}.tmp-{uuid.uuid4().hex[:8]}")
@@ -59,6 +68,19 @@ class SpillDir:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        if guard_contiguity:
+            limit = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                       "134217728").rstrip("b"))
+            for dirpath, _dirs, files in os.walk(final):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        size = os.path.getsize(os.path.join(dirpath, f))
+                        if size > limit:
+                            raise ValueError(
+                                f"spill file {f} is {size}B > "
+                                f"maxPartitionBytes {limit}B: read-back would "
+                                "split it and break doc contiguity for the "
+                                "fused kernel — raise n_parts")
         return spark.read.parquet(final)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
