@@ -346,8 +346,23 @@ def prefer_internal_call_edges(call_edges: DataFrame, nodes: DataFrame) -> DataF
     )
 
 
+def candidate_pool(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """The kernel-independent candidate ranks (static=0, CHA=1, naive=3) as
+    one frame — the pipeline materializes this concurrently with the fused
+    kernel (whose output only the rank-2 hint candidates need), hiding the
+    linkers' many small join stages behind the kernel's long Python stage."""
+    rank = lambda df, r: df.select(  # noqa: E731
+        "src", "dst", "doc_id", "method_id", "m_external", F.lit(r).alias("rank"))
+    cand = rank(_static_candidates(nodes), 0)
+    dyn = _dynamic_candidates(nodes, edges)
+    if dyn is not None:
+        cand = cand.unionByName(rank(dyn, 1))
+    return cand.unionByName(rank(_naive_candidates(nodes), 3))
+
+
 def link_calls(nodes: DataFrame, edges: DataFrame,
-               recovered: DataFrame | None = None) -> DataFrame:
+               recovered: DataFrame | None = None,
+               pre_candidates: DataFrame | None = None) -> DataFrame:
     """All four call linkers in ONE pass: static + CHA + type-hint + naive
     candidates (no anti-joins) arbitrated by a single priority window.
 
@@ -371,24 +386,28 @@ def link_calls(nodes: DataFrame, edges: DataFrame,
     rank = lambda df, r: df.select(  # noqa: E731
         "src", "dst", "doc_id", "method_id", "m_external", F.lit(r).alias("rank"))
 
-    cand = rank(_static_candidates(nodes), 0)
-    dyn = _dynamic_candidates(nodes, edges)
-    if dyn is not None:
-        cand = cand.unionByName(rank(dyn, 1))
+    cand = pre_candidates if pre_candidates is not None \
+        else candidate_pool(nodes, edges)
     cand = cand.unionByName(rank(_hint_candidates(nodes, edges, recovered), 2))
-    cand = cand.unionByName(rank(_naive_candidates(nodes), 3))
 
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("src")
-    flag = lambda c: F.max(F.when(c, 1).otherwise(0)).over(w)  # noqa: E731
-    cand = (
-        cand.withColumn("f_r01", flag(F.col("rank") <= 1))
-        .withColumn("f_r01_int", flag((F.col("rank") <= 1) & ~F.col("m_external")))
-        .withColumn("f_dyn_int", flag((F.col("rank") == 1) & ~F.col("m_external")))
-        .withColumn("f_hint", flag(F.col("rank") == 2))
-        .withColumn("f_naive_int", flag((F.col("rank") == 3) & ~F.col("m_external")))
+    # per-call flags as a map-side-combined aggregate joined back, NOT a
+    # window: a Window(partitionBy src) would shuffle + sort the full
+    # candidate union and buffer every src group (and five chained
+    # withColumns plan five separate Window operators — measured 9x task-CPU
+    # inflation at 32 cores from the per-group buffer churn). The aggregate
+    # shrinks to one row per call before its (tiny) shuffle, and AQE
+    # broadcasts it back over the un-shuffled candidates; when calls outgrow
+    # the broadcast threshold at 100x scale it degrades to a shuffle join —
+    # exactly the exchange the window needed anyway, minus the sort.
+    flag = lambda c, n: F.max(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
+    flags = cand.groupBy("src").agg(
+        flag(F.col("rank") <= 1, "f_r01"),
+        flag((F.col("rank") <= 1) & ~F.col("m_external"), "f_r01_int"),
+        flag((F.col("rank") == 1) & ~F.col("m_external"), "f_dyn_int"),
+        flag(F.col("rank") == 2, "f_hint"),
+        flag((F.col("rank") == 3) & ~F.col("m_external"), "f_naive_int"),
     )
+    cand = cand.join(flags, "src")
     hint_kept = (F.col("f_hint") == 1) & (F.col("f_r01_int") == 0)
     keep = (
         # static: always (the sequential chain never prunes static edges)

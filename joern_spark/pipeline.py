@@ -163,10 +163,11 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
     # dictionary collect is chained in front of the kernel INSIDE the pool so
     # it overlaps the vocabulary-frame materializations instead of serializing
     # the whole pipeline behind it (the round-2 profile's flat ~5 s barrier)
+    def dicts_job():
+        return collect_recovery_dicts(nodes0, with_counts=True)
+
     def kernel_job() -> DataFrame | None:
-        t_d = time.time()
-        dicts = collect_recovery_dicts(nodes0, with_counts=True)
-        stats["t_dicts"] = round(time.time() - t_d, 2)
+        dicts = dicts_f.result()
         if dicts is None:
             return None
         internal_names, ret_types, members, class_by_id, counts = dicts
@@ -212,66 +213,112 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
             return out
         return run
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    from .operators.callgraph import candidate_pool, link_calls
+    from .operators.dims import budgeted_broadcast
+
+    # ---- kernel-independent edges: everything except the field-access and
+    # hint linkers (which consume the kernel's _TYPE_HINT rows) depends only
+    # on the vocabulary frames — materialize those branches INSIDE the pool,
+    # so their many small join stages overlap the kernel's long Python stage
+    # (the kernel's JVM task threads mostly wait on worker sockets; FAIR
+    # scheduling shares the slots)
+    def base_job():
+        dicts = dicts_f.result()
+        if dicts is None:
+            return None
+        counts = dicts[4]
+        types, decl_stubs = types_f.result()
+        m_stubs = stubs_f.result()
+        param_outs = params_f.result()
+        ns_nodes = ns_f.result()
+        dep_nodes = deps_f.result()
+        # run-wide broadcast-budget decision: every dimension any downstream
+        # join broadcasts is vocabulary-or-stub-sized; their union is bounded
+        # by these kind counts, so one hint replaces a per-join probe job.
+        # Over budget → every dim join plans a shuffle join (degrade, not die)
+        vocab_n = (
+            m_stubs.count() + types.count() + decl_stubs.count()
+            + ns_nodes.count() + dep_nodes.count()
+            + sum(counts.get(k, 0) for k in ("METHOD", "TYPE_DECL", "MEMBER",
+                                             "FILE"))
+        )
+        stats["vocab_n"] = vocab_n
+        fits = vocab_n <= MAX_BROADCAST_DIM
+
+        m_stub_edges = (
+            m_stubs.filter(F.col("parent_id").isNotNull())
+            .select(F.col("parent_id").alias("src"),
+                    F.col("node_id").alias("dst"),
+                    F.lit("AST").alias("kind"), F.lit("").alias("variable"),
+                    "doc_id", "method_id")
+        )
+        params_in = nodes0.filter(F.col("kind") == "METHOD_PARAMETER_IN")
+        param_ast = param_outs.select(
+            F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
+            F.lit("AST").alias("kind"), F.lit("").alias("variable"),
+            "doc_id", "method_id")
+        param_link = (
+            params_in.alias("p")
+            .join(param_outs.alias("o"),
+                  (F.col("p.parent_id") == F.col("o.parent_id"))
+                  & (F.col("p.order") == F.col("o.order")))
+            .select(F.col("p.node_id").alias("src"),
+                    F.col("o.node_id").alias("dst"),
+                    F.lit("PARAMETER_LINK").alias("kind"),
+                    F.lit("").alias("variable"),
+                    F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.method_id").alias("method_id"))
+        )
+        ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
+                                 F.col("node_id").alias("ns_id"))
+        nodes = (
+            nodes0.unionByName(types).unionByName(decl_stubs)
+            .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
+            .unionByName(dep_nodes)
+        )
+        with dim_fits_hint(fits):
+            ns_edges = (
+                nodes0.filter(F.col("kind") == "NAMESPACE_BLOCK")
+                .join(budgeted_broadcast(ns_dim),
+                      F.col("name") == F.col("ns_name"))
+                .select(F.col("node_id").alias("src"),
+                        F.col("ns_id").alias("dst"),
+                        F.lit("REF").alias("kind"),
+                        F.lit("").alias("variable"),
+                        "doc_id", F.lit(None).cast("long").alias("method_id"))
+            )
+            base_norec = spill.write(
+                edges0.unionByName(m_stub_edges)
+                .unionByName(param_ast).unionByName(param_link)
+                .unionByName(type_ref_pass(types, nodes0))
+                .unionByName(eval_type_pass(nodes, types))
+                .unionByName(method_ref_linker(nodes))
+                .unionByName(macro_ref_linker(nodes0))
+                .unionByName(imports_linker(nodes0, dep_nodes))
+                .unionByName(ns_edges),
+                "edges_base_norec")
+            # static/CHA/naive call candidates (hint needs the kernel)
+            cand = spill.write(candidate_pool(nodes, edges0),
+                               "call_candidates")
+        return (types, decl_stubs, m_stubs, param_outs, ns_nodes, dep_nodes,
+                nodes, fits, base_norec, cand)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        dicts_f = pool.submit(timed("dicts", dicts_job))
         kernel_f = pool.submit(timed("kernel", kernel_job))
         types_f = pool.submit(timed("types", types_job))
         stubs_f = pool.submit(timed("stubs", stubs_job))
         params_f = pool.submit(timed("params", params_job))
         ns_f = pool.submit(timed("ns", ns_job))
         deps_f = pool.submit(timed("deps", deps_job))
-        types, decl_stubs = types_f.result()
-        m_stubs = stubs_f.result()
-        param_outs = params_f.result()
-        ns_nodes = ns_f.result()
-        dep_nodes = deps_f.result()
+        base_f = pool.submit(timed("base_edges", base_job))
         kernel_out = kernel_f.result()
+        base_res = base_f.result()
     stats["t_pool"] = round(time.time() - t_pool, 2)
-    if kernel_out is None:
+    if kernel_out is None or base_res is None:
         return None  # dictionaries over budget → DataFrame fallback
-
-    # run-wide broadcast-budget decision: every dimension any downstream join
-    # broadcasts is vocabulary-or-stub-sized; their union is bounded by these
-    # kind counts, so one hint replaces a per-join probe job. Over budget →
-    # every dim join below plans a shuffle join instead (degrade, don't die).
-    counts = stats.get("kind_counts", {})
-    # counts of the materialized vocab frames are cheap (checkpointed blocks)
-    vocab_n = (
-        m_stubs.count() + types.count() + decl_stubs.count() + ns_nodes.count()
-        + dep_nodes.count()
-        + sum(counts.get(k, 0) for k in ("METHOD", "TYPE_DECL", "MEMBER", "FILE"))
-    )
-    stats["vocab_n"] = vocab_n
-
-    # edge projections of the materialized vocabulary frames (cheap, lazy)
-    m_stub_edges = (
-        m_stubs.filter(F.col("parent_id").isNotNull())
-        .select(F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
-                F.lit("AST").alias("kind"), F.lit("").alias("variable"),
-                "doc_id", "method_id")
-    )
-    params_in = nodes0.filter(F.col("kind") == "METHOD_PARAMETER_IN")
-    param_ast = param_outs.select(
-        F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
-        F.lit("AST").alias("kind"), F.lit("").alias("variable"),
-        "doc_id", "method_id")
-    param_link = (
-        params_in.alias("p")
-        .join(param_outs.alias("o"),
-              (F.col("p.parent_id") == F.col("o.parent_id"))
-              & (F.col("p.order") == F.col("o.order")))
-        .select(F.col("p.node_id").alias("src"), F.col("o.node_id").alias("dst"),
-                F.lit("PARAMETER_LINK").alias("kind"), F.lit("").alias("variable"),
-                F.col("p.doc_id").alias("doc_id"),
-                F.col("p.method_id").alias("method_id"))
-    )
-    ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
-                             F.col("node_id").alias("ns_id"))
-
-    nodes = (
-        nodes0.unionByName(types).unionByName(decl_stubs)
-        .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
-        .unionByName(dep_nodes)
-    )
+    (types, decl_stubs, m_stubs, param_outs, ns_nodes, dep_nodes,
+     nodes, fits, base_norec, cand) = base_res
 
     # recovery events came out of the kernel as _TYPE_HINT rows
     recovered = kernel_out.filter(F.col("kind") == "_TYPE_HINT").select(
@@ -279,44 +326,19 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
     )
     kernel_edges = kernel_out.filter(F.col("kind") != "_TYPE_HINT")
 
-    from .operators.dims import budgeted_broadcast
-    from .operators.callgraph import link_calls
-
-    with dim_fits_hint(vocab_n <= MAX_BROADCAST_DIM):
-        ns_edges = (
-            nodes0.filter(F.col("kind") == "NAMESPACE_BLOCK")
-            .join(budgeted_broadcast(ns_dim), F.col("name") == F.col("ns_name"))
-            .select(F.col("node_id").alias("src"), F.col("ns_id").alias("dst"),
-                    F.lit("REF").alias("kind"), F.lit("").alias("variable"),
-                    "doc_id", F.lit(None).cast("long").alias("method_id"))
-        )
-        base_edges = (
-            edges0.unionByName(m_stub_edges)
-            .unionByName(param_ast).unionByName(param_link)
-            .unionByName(type_ref_pass(types, nodes0))
-            .unionByName(eval_type_pass(nodes, types))
-            .unionByName(field_access_linker(nodes0, edges0, recovered=recovered))
-            .unionByName(method_ref_linker(nodes))
-            .unionByName(macro_ref_linker(nodes0))
-            .unionByName(imports_linker(nodes0, dep_nodes))
-            .unionByName(ns_edges)
-        )
-
-        # ---- stage: callgraph — static + CHA + hint + naive candidates
-        # arbitrated in ONE pass (no anti-join cascade, no re-evaluation;
-        # INHERITS_FROM lives in the parse edges, so the closure reads edges0)
-        call_edges = link_calls(nodes, edges0, recovered=recovered)
-
-        # ---- stage: edges materialization — ONE narrow columnar write of the
-        # base+call edges; the (larger) kernel edges are ALREADY columnar on
-        # disk from the kernel job and are never copied again
+    with dim_fits_hint(fits):
+        # ---- stage: the kernel-dependent edge tail — field-access linking,
+        # hint candidates, and the one-pass call arbitration over the
+        # pre-materialized candidate pool
+        call_edges = link_calls(nodes, edges0, recovered=recovered,
+                                pre_candidates=cand)
         t2 = time.time()
-        base_call_lazy = base_edges.unionByName(call_edges)
-        # split driver-side planning cost from execution (both inside the
-        # spill timing; planning a ~10-branch union-of-joins is serial)
-        base_call_lazy._jdf.queryExecution().executedPlan()
+        post_lazy = field_access_linker(nodes0, edges0, recovered=recovered) \
+            .unionByName(call_edges)
+        post_lazy._jdf.queryExecution().executedPlan()
         stats["t_edges_plan"] = round(time.time() - t2, 2)
-        base_call = spill.write(base_call_lazy, "edges_base_call")
+        base_call = base_norec.unionByName(
+            spill.write(post_lazy, "edges_call_fa"))
         stats["t_edges_spill"] = round(time.time() - t2, 2)
         edges = kernel_edges.unionByName(base_call)
         if out_dir:
