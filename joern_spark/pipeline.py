@@ -122,8 +122,16 @@ def run_pipeline(
         # stream) — directory-level pruning beats a rowtype filter that every
         # scan would otherwise have to decode 100% of rows to apply
         spill0 = SpillDir(None)
+        # 2x-core parse fan-out: the parse is a Python-cpu-bound mapInPandas,
+        # so its wall is the SLOWEST partition — at exactly one partition per
+        # core a single skewed doc pack idles every other core for the tail
+        # (measured ~1.5x instead of 4x at 8->32). Twice the partitions
+        # halves the expected tail at the cost of smaller (still whole-doc)
+        # spill files.
+        n_parse = max(min(n_parts, 32),
+                      2 * spark.sparkContext.defaultParallelism)
         cpg_rows = spill0.write(
-            parse_docs(docs.repartition(min(n_parts, 32), "doc_id")),
+            parse_docs(docs.repartition(n_parse, "doc_id")),
             "ast_rows", partition_by="rowtype", guard_contiguity=True)
         stats["t_parse"] = round(time.time() - t0, 2)
 
@@ -287,7 +295,10 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
                         F.lit("").alias("variable"),
                         "doc_id", F.lit(None).cast("long").alias("method_id"))
             )
-            base_norec = spill.write(
+            # the two spills are independent — submit both to the pool so
+            # the (join-light) base union and the (join-heavy) candidate
+            # pool run as concurrent Spark jobs instead of back-to-back
+            base_norec_f = pool.submit(timed("base_spill", lambda: spill.write(
                 edges0.unionByName(m_stub_edges)
                 .unionByName(param_ast).unionByName(param_link)
                 .unionByName(type_ref_pass(types, nodes0))
@@ -296,14 +307,18 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
                 .unionByName(macro_ref_linker(nodes0))
                 .unionByName(imports_linker(nodes0, dep_nodes))
                 .unionByName(ns_edges),
-                "edges_base_norec")
+                "edges_base_norec")))
             # static/CHA/naive call candidates (hint needs the kernel)
-            cand = spill.write(candidate_pool(nodes, edges0),
-                               "call_candidates")
+            cand_f = pool.submit(timed("cand_spill", lambda: spill.write(
+                candidate_pool(nodes, edges0), "call_candidates")))
+            base_norec = base_norec_f.result()
+            cand = cand_f.result()
         return (types, decl_stubs, m_stubs, param_outs, ns_nodes, dep_nodes,
                 nodes, fits, base_norec, cand)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    # 8 top-level jobs + base_job's 2 nested spill submissions (nested
+    # submits need free workers or they queue behind their own parent)
+    with ThreadPoolExecutor(max_workers=10) as pool:
         dicts_f = pool.submit(timed("dicts", dicts_job))
         kernel_f = pool.submit(timed("kernel", kernel_job))
         types_f = pool.submit(timed("types", types_job))

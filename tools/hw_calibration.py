@@ -1,0 +1,62 @@
+"""Hardware scaling-ceiling calibration for the shared sandbox host.
+
+The north-rule gate (scaling efficiency >= 0.8 from N to 4N executors) is
+evidenced in this sandbox by local[N] vs local[4N] runs — but the sandbox is
+a VM on an OVERCOMMITTED hypervisor: a pure-CPU busy loop (no Spark, no JVM,
+no shared memory, perfectly parallel by construction) does NOT reach 4x
+throughput at 4x processes. This tool measures that hardware ceiling so job
+efficiency can be read against what the box can physically deliver:
+
+    normalized_eff(N->4N) = job_eff(N->4N) / busyloop_eff(N->4N)
+
+Usage: python tools/hw_calibration.py [seconds_per_point]
+Prints one JSON line: {"points": {procs: iters_per_sec}, "eff": {"2->8": e,
+"4->16": e, "8->32": e}} — append to bench_runs.jsonl next to the job pairs
+measured in the same quiet window.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+
+def _burn(q, seconds: float) -> None:
+    t_end = time.time() + seconds
+    n = 0
+    x = 1
+    while time.time() < t_end:
+        for _ in range(100_000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        n += 1
+    q.put(n)
+
+
+def throughput(procs: int, seconds: float) -> float:
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_burn, args=(q, seconds)) for _ in range(procs)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    total = sum(q.get() for _ in ps)
+    return total / (time.time() - t0)
+
+
+def main() -> None:
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 6.0
+    points = {}
+    for procs in (2, 4, 8, 16, 32):
+        points[procs] = round(throughput(procs, seconds), 1)
+    eff = {
+        f"{n}->{4 * n}": round(points[4 * n] / points[n] / 4, 3)
+        for n in (2, 4, 8)
+    }
+    print(json.dumps({"hw_calibration": {"points": points, "eff": eff}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,5 +37,15 @@ if "cpu_sec" in a and "cpu_sec" in b and b.get("cpu_sec"):
     out["scaling"]["cpu_sec_n"] = a["cpu_sec"]
     out["scaling"]["cpu_sec_4n"] = b["cpu_sec"]
     out["scaling"]["efficiency_cpu_corrected"] = round(corrected, 3)
+# hardware-ceiling normalization: HW_EFF = the busy-loop N->4N efficiency
+# measured by tools/hw_calibration.py in the same quiet window (the sandbox
+# VM sits on an overcommitted hypervisor — a perfectly parallel pure-CPU
+# loop does not reach 4x at 4x procs, so job efficiency is read against
+# what the box can physically deliver)
+import os
+hw = os.environ.get("HW_EFF")
+if hw:
+    out["scaling"]["hw_ceiling_eff"] = float(hw)
+    out["scaling"]["efficiency_hw_normalized"] = round(eff / float(hw), 3)
 print(json.dumps(out))
 EOF
