@@ -42,6 +42,11 @@ F4_ZOO_C = """int zoo(int x) {
   switch (x) { case 1: x = 2; break; default: x = 3; }
   int y = (x > 0 && x < 100) ? x : 0;
   return y;
+}
+
+int peek(int *a, int i) {
+  a[i] = a[0] + 1;
+  return a[i];
 }"""
 
 F5_METHODTEST_JAVA = """public class MethodTest {
@@ -99,6 +104,7 @@ let w = h['data'];
 let a = new Wid();
 let b = a;
 let z = b.tally(2);
+z ??= 7;
 greet('bob');
 """
 

@@ -108,6 +108,12 @@ OP_ARRAY_NEW = "<operator>.arrayNew"
 OP_FIELD_ACCESS = "<operator>.fieldAccess"
 OP_INDIRECT_FIELD_ACCESS = "<operator>.indirectFieldAccess"
 OP_INDEX_ACCESS = "<operator>.indexAccess"
+# c2cpg lowers EVERY array subscript through the pointer form
+# (AstForExpressionsCreator.scala:189-190 astForArrayIndexExpression)
+OP_INDIRECT_INDEX_ACCESS = "<operator>.indirectIndexAccess"
+# jssrc2cpg maps `??=` logical assignment to notNullAssert
+# (AstForExpressionsCreator.scala:187); kotlin2cpg uses it for `!!`
+OP_NOT_NULL_ASSERT = "<operator>.notNullAssert"
 OP_CAST = "<operator>.cast"
 OP_SIZEOF = "<operator>.sizeOf"
 OP_ALLOC = "<operator>.alloc"

@@ -21,8 +21,8 @@ from .ast_model import (
     OP_DELETE,
     OP_ELVIS,
     OP_FIELD_ACCESS,
-    OP_INDEX_ACCESS,
     OP_INDIRECT_FIELD_ACCESS,
+    OP_INDIRECT_INDEX_ACCESS,
     OP_POST_DECREMENT,
     OP_POST_INCREMENT,
     OP_PRE_DECREMENT,
@@ -35,7 +35,6 @@ from .ast_model import (
 )
 from .tokenizer import TYPE_KEYWORDS, Token, tokenize
 
-_ASSIGN_OPS = set(ASSIGNMENT_OPERATOR_NAMES)
 # binary precedence, low to high (C)
 _BIN_LEVELS = [
     ["||"],
@@ -52,6 +51,10 @@ _BIN_LEVELS = [
 
 
 class CParser:
+    # assignment-operator lowering table; dialect subclasses extend it (the
+    # JS parser adds `??=` → notNullAssert per jssrc2cpg)
+    ASSIGN_NAMES = ASSIGNMENT_OPERATOR_NAMES
+
     def __init__(self, text: str):
         self.text = text
         self.toks: list[Token] = tokenize(text)
@@ -640,10 +643,10 @@ class CParser:
         if lhs is None:
             return None
         t = self.peek()
-        if t is not None and t.text in _ASSIGN_OPS:
+        if t is not None and t.text in self.ASSIGN_NAMES:
             op = self.eat()
             rhs = self.parse_assignment_expr()
-            call = operator_call(ASSIGNMENT_OPERATOR_NAMES[op.text],
+            call = operator_call(self.ASSIGN_NAMES[op.text],
                                  "", start.pos, start.line)
             call.add(lhs, order=1, argument_index=1)
             if rhs is not None:
@@ -765,7 +768,11 @@ class CParser:
                 self.eat()
                 idx_expr = self.parse_expr()
                 self.expect("]")
-                call = operator_call(OP_INDEX_ACCESS, "", start.pos, start.line)
+                # c2cpg lowers every C array subscript through the pointer
+                # form (AstForExpressionsCreator.scala:189-190); the plain
+                # indexAccess spelling belongs to the Java/JS frontends
+                call = operator_call(OP_INDIRECT_INDEX_ACCESS, "",
+                                     start.pos, start.line)
                 call.add(node, order=1, argument_index=1)
                 if idx_expr is not None:
                     call.add(idx_expr, order=2, argument_index=2)

@@ -40,6 +40,11 @@ def _str_arg(call: AstNode) -> str:
 
 
 class JsParser(JavaParser):
+    # `??=` logical assignment lowers to notNullAssert, matching jssrc2cpg
+    # (AstForExpressionsCreator.scala:187)
+    from .ast_model import OP_NOT_NULL_ASSERT as _NNA
+    ASSIGN_NAMES = {**JavaParser.ASSIGN_NAMES, "??=": _NNA}
+
     # JS has no type syntax: every typed-declaration heuristic is off; locals
     # arrive via var/let/const keywords instead.
     def at_type(self, k: int = 0) -> bool:

@@ -28,7 +28,7 @@ TYPE_KEYWORDS = {
 
 # multi-char operators first (longest match wins)
 _OPERATORS = [
-    "===", "!==", "=>",
+    "===", "!==", "=>", "??=",
     "<<=", ">>=", "...", "->", "++", "--", "<<", ">>", "<=", ">=", "==", "!=",
     "&&", "||", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "?", ":",
     "+", "-", "*", "/", "%", "<", ">", "=", "!", "&", "|", "^", "~", ".", ",",

@@ -350,14 +350,41 @@ def candidate_pool(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """The kernel-independent candidate ranks (static=0, CHA=1, naive=3) as
     one frame — the pipeline materializes this concurrently with the fused
     kernel (whose output only the rank-2 hint candidates need), hiding the
-    linkers' many small join stages behind the kernel's long Python stage."""
+    linkers' many small join stages behind the kernel's long Python stage.
+
+    Pre-arbitration pruning (semantics-neutral): rows the final arbitration
+    can NEVER keep — naive rows for calls that static/CHA already resolved
+    (their keep condition requires f_r01 == 0) and CHA external stubs whose
+    call has an internal CHA candidate — are dropped before the pool hits
+    disk. Bare-name naive matches are cross-document quadratic per name, so
+    for a mostly-statically-resolved corpus this removes the bulk of the
+    spill; the arbitration in :func:`link_calls` re-derives its flags over
+    the pruned pool and keeps row-for-row identical output (dropped rows
+    only ever feed flag conditions of branches that are themselves dead:
+    a pruned naive row's src has f_r01 == 1, killing every rank-3 branch)."""
     rank = lambda df, r: df.select(  # noqa: E731
         "src", "dst", "doc_id", "method_id", "m_external", F.lit(r).alias("rank"))
     cand = rank(_static_candidates(nodes), 0)
     dyn = _dynamic_candidates(nodes, edges)
     if dyn is not None:
         cand = cand.unionByName(rank(dyn, 1))
-    return cand.unionByName(rank(_naive_candidates(nodes), 3))
+    cand = cand.unionByName(rank(_naive_candidates(nodes), 3))
+
+    flag = lambda c, n: F.max(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
+    flags = cand.groupBy("src").agg(
+        flag(F.col("rank") <= 1, "p_r01"),
+        flag((F.col("rank") == 1) & ~F.col("m_external"), "p_dyn_int"),
+    )
+    return (
+        cand.join(flags, "src")
+        .filter(
+            (F.col("rank") == 0)
+            | ((F.col("rank") == 1)
+               & (~F.col("m_external") | (F.col("p_dyn_int") == 0)))
+            | ((F.col("rank") == 3) & (F.col("p_r01") == 0))
+        )
+        .drop("p_r01", "p_dyn_int")
+    )
 
 
 def link_calls(nodes: DataFrame, edges: DataFrame,

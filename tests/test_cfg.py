@@ -155,7 +155,9 @@ def test_operator_lowering_extras():
 
     cases = {
         "int f() { int x; return sizeof(x); }": "<operator>.sizeOf",
-        "int f(int *a, int i) { return a[i]; }": "<operator>.indexAccess",
+        # c2cpg lowers C subscripts through the pointer form
+        # (AstForExpressionsCreator.scala:189-190)
+        "int f(int *a, int i) { return a[i]; }": "<operator>.indirectIndexAccess",
         "int f() { int x; int *p = &x; return *p; }": "<operator>.addressOf",
         "int f(double d) { return (int) d; }": "<operator>.cast",
     }

@@ -60,6 +60,18 @@ def test_js_member_index_access():
     assert names.count("<operator>.indexAccess") == 2
 
 
+def test_js_not_null_assert():
+    """`??=` lowers to notNullAssert (jssrc2cpg
+    AstForExpressionsCreator.scala:187)."""
+    js = "let z = 1;\nz ??= 7;\n"
+    nodes, _, _ = lower_doc("d.js", [
+        {"kind": "code", "text": js, "media_ref": "", "offset": 0}])
+    calls = [n for n in nodes if n["kind"] == "CALL"
+             and n["name"] == "<operator>.notNullAssert"]
+    assert len(calls) == 1
+    assert calls[0]["code"] == "z ??= 7"
+
+
 @pytest.fixture(scope="module")
 def js_callgraph(cpg):
     calls = cpg.edges.filter(F.col("kind") == "CALL").select("src", "dst")
