@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from .dims import MAX_BROADCAST_DIM, budgeted_broadcast
 
 MAX_HIERARCHY_DEPTH = 20  # bound for the inheritance closure loop
-SMALL_HIERARCHY_LIMIT = 100_000  # driver-side closure below this many edges
+# driver-side closure is a collect, i.e. the same memory class as a broadcast
+# dimension — tie its bound to the shared broadcast budget instead of an
+# independent magic constant (INHERITS_FROM edge rows are wider than dim rows,
+# hence the divisor); above it the distributed iterative closure takes over
+SMALL_HIERARCHY_LIMIT = MAX_BROADCAST_DIM // 20
 # method-dimension budget for the static-link broadcast join; above it the
 # broadcast would blow the driver/executor memory at cluster scale, so the
 # linker auto-falls-back to the salted shuffle join

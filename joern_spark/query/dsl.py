@@ -129,6 +129,15 @@ class Cpg:
     def field_access(self) -> "CpgQuery":
         return CpgQuery(self, self.nodes.filter(F.col("name").isin(FIELD_ACCESS_OPS)))
 
+    def array_access(self) -> "CpgQuery":
+        """index/computed-member access calls (operatorextension
+        NodeTypeStarters.scala:23-26, allArrayAccessTypes)."""
+        return CpgQuery(self, self.nodes.filter(F.col("name").isin(ARRAY_ACCESS_OPS)))
+
+    def alloc(self) -> "CpgQuery":
+        """allocation operator calls (alloc/new/arrayNew)."""
+        return CpgQuery(self, self.nodes.filter(F.col("name").isin(ALLOC_OPS)))
+
 
 class CpgQuery:
     """A traversal frontier (DataFrame of node rows) + combinator steps."""

@@ -86,6 +86,14 @@ def test_assignment_operator_view(q, g):
     assert len(flow_assigns) == 6
 
 
+def test_array_access_operator_view(q):
+    """arrayAccess starter (operatorextension NodeTypeStarters.scala:23-26):
+    F4's peek() subscripts lower to indirectIndexAccess (c2cpg spelling)."""
+    rows = [r for r in q.array_access().l() if r["doc_id"] == F4]
+    assert len(rows) == 3  # a[i] =, a[0], return a[i]
+    assert {r["name"] for r in rows} == {"<operator>.indirectIndexAccess"}
+
+
 def test_where_not_in(q):
     # whereNot: calls with no outgoing CALL edge — none on the fixture corpus
     from pyspark.sql import functions as F
