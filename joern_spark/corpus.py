@@ -114,6 +114,40 @@ F14_PACKAGE_JSON = """{
   "dependencies": { "my_utils": "^2.0.0" }
 }"""
 
+F15_APP_PY = """import py_utils
+from os import path
+
+def py_greet(name):
+    msg = "hi " + name
+    emit(msg)
+    return msg
+
+class PWid:
+    flavor = 1
+    def draw(self, x):
+        return x + 1
+    def total(self, xs):
+        t = 0
+        for i in xs:
+            t = t + i
+        return t
+
+class PWidSub(PWid):
+    def draw(self, x):
+        if x > 0:
+            return x + 2
+        elif x < 0:
+            return 0
+        else:
+            return x
+
+w = PWid()
+r = w.draw(41)
+v = w.flavor
+z = dyn_obj.total(2)
+s = py_greet("bob")
+"""
+
 F9_TRY_CPP = """int try1() { try { a; } catch (int x) { b; } }
 int try3() {
   try { c; } catch (short u) { d; } catch (int v) { e; } catch (long w) { f; }
@@ -181,6 +215,9 @@ def fixture_docs() -> list[dict]:
         # F14: config doc → CONFIG_FILE node (XConfigFileCreationPass)
         {"doc_id": "fixtures/js/package.json",
          "spans": split_code_spans(F14_PACKAGE_JSON, 2)},
+        # F15: pysrc-mini — <module> method, indentation blocks, constructor-
+        # call type inference, class members, for-loop lowering
+        {"doc_id": "fixtures/py/app.py", "spans": split_code_spans(F15_APP_PY, 4)},
     ]
     return docs
 

@@ -47,14 +47,21 @@ _CONTAINS_ROOTS = {"METHOD", "TYPE_DECL", "FILE"}
 # ContainsEdgePass which links every AST descendant to its nearest root)
 
 
+_PY_HINT = re.compile(r"^\s*def\s+\w+\s*\(.*\)\s*:", re.M)
+
+
 def detect_language(doc_id: str, text: str) -> str:
     if doc_id.endswith(".js") or "/js" in doc_id:
         return "js"
     if doc_id.endswith(".java") or "/java" in doc_id:
         return "java"
+    if doc_id.endswith(".py") or "/py/" in doc_id:
+        return "py"
     # content sniff: the JS markers (function/let/const/require) never appear
     # in the C/Java fixture subset, while `class X` appears in both Java and
-    # JS — so JS wins only on its own markers
+    # JS — so JS wins only on its own markers; `def f(...):` only in Python
+    if _PY_HINT.search(text):
+        return "py"
     if _JS_HINT.search(text):
         return "js"
     if _JAVA_HINT.search(text):
@@ -143,6 +150,9 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     elif lang == "js":
         from .js_parser import parse_js
         tops = parse_js(text)
+    elif lang == "py":
+        from .py_parser import parse_py
+        tops = parse_py(text)
     else:
         tops = parse_c(text)
 

@@ -102,3 +102,4 @@ F10 = "fixtures/c/fnptr"
 F11 = "fixtures/java/Hint.java"
 F12 = "fixtures/c/macro"
 F13 = "fixtures/js/app.js"
+F15 = "fixtures/py/app.py"

@@ -21,7 +21,7 @@ from tests.triple_labels import to_json, triple_counter
 FIXTURES = [
     "fixtures/c/flow", "fixtures/c/free_list", "fixtures/c/test",
     "fixtures/c/zoo", "fixtures/java/MethodTest.java", "fixtures/java/Dispatch.java",
-    "fixtures/js/app.js",
+    "fixtures/js/app.js", "fixtures/py/app.py",
 ]
 
 
