@@ -74,7 +74,8 @@ parts AS (
            CAST(k % 7 AS VARCHAR) AS cn,
            lpad(CAST(k % 50 AS VARCHAR), 2, '0') AS nn,
            (k % 5 = 0) AS has_media,
-           (k % 11 = 3) AS is_js
+           (k % 11 = 3) AS is_js,
+           (k % 11 = 7) AS is_py
     FROM kk
 ),
 spans0 AS (
@@ -84,6 +85,11 @@ spans0 AS (
            'function helper_' || m6 || '(x) {{' || {_NL} ||
            '  let s = x + ' || bn || ';' || {_NL} ||
            '  log(s);'
+           WHEN is_py THEN
+           'import pkg_' || nn || {_NL} ||
+           'def helper_' || m6 || '(x):' || {_NL} ||
+           '    s = x + ' || bn || {_NL} ||
+           '    log(s)'
            ELSE
            'int main_' || m6 || '() {{' || {_NL} ||
            '  int a = ' || an || ';' || {_NL} ||
@@ -100,6 +106,11 @@ spans0 AS (
            '}}' || {_NL} ||
            'class W_' || m6 || ' {{' || {_NL} ||
            '  run(v) {{ return v + ' || cn || '; }}'
+           WHEN is_py THEN
+           '    return s' || {_NL} ||
+           'class W_' || m6 || ':' || {_NL} ||
+           '    def run(self, v):' || {_NL} ||
+           '        return v + ' || cn
            ELSE
            '  printf(buf);' || {_NL} ||
            '  if (a > b) {{ a = b; }} else {{ b = a; }}' || {_NL} ||
@@ -115,6 +126,11 @@ spans0 AS (
            'let w = new W_' || m6 || '();' || {_NL} ||
            'let t = w.run(' || an || ');' || {_NL} ||
            'let u = helper_' || m6 || '(t);'
+           WHEN is_py THEN
+           'w = W_' || m6 || '()' || {_NL} ||
+           't = w.run(' || an || ')' || {_NL} ||
+           'if t > 0:' || {_NL} ||
+           '    u = helper_' || m6 || '(t)'
            ELSE
            'void helper_' || m6 || '(int x, int y) {{' || {_NL} ||
            '  int s = x + y;' || {_NL} ||

@@ -66,6 +66,30 @@ def js_code_for_key(k: int, helper: str) -> str:
     )
 
 
+def py_code_for_key(k: int, helper: str) -> str:
+    """Deterministic Python program for the pysrc-mini slice of the corpus
+    (``k % 11 == 7``): import → DEPENDENCY, a module function (static link),
+    a class with a lattice-typed receiver call (CHA via constructor-call
+    inference), and an untyped ``log`` leftover (NaiveCallLinker). Mirrored
+    line-for-line by the cpg_span_provenance DuckDB oracle
+    (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"import pkg_{k % 50:02d}\n"
+        f"def {helper}(x):\n"
+        f"    s = x + {k % 13}\n"
+        f"    log(s)\n"
+        f"    return s\n"
+        f"class W_{m6}:\n"
+        f"    def run(self, v):\n"
+        f"        return v + {k % 7}\n"
+        f"w = W_{m6}()\n"
+        f"t = w.run({k % 97})\n"
+        f"if t > 0:\n"
+        f"    u = {helper}(t)"
+    )
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -83,8 +107,12 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
             for doc_id in pdf["doc_id"].astype(str):
                 k = synth_key(doc_id)
                 helper = f"helper_{k % 1000000:06d}"
-                code = (js_code_for_key(k, helper) if k % 11 == 3
-                        else code_for_key(k, helper))
+                if k % 11 == 3:
+                    code = js_code_for_key(k, helper)
+                elif k % 11 == 7:
+                    code = py_code_for_key(k, helper)
+                else:
+                    code = code_for_key(k, helper)
                 spans = split_code_spans(code, 3)
                 if k % 5 == 0:
                     spans = with_media(spans, [f"bin://artifact-{doc_id}"], [1])
