@@ -55,21 +55,29 @@ def main() -> None:
     docs = synth_docs(documents).persist()
     n_docs = docs.count()
 
-    from joern_spark.hostmetrics import load_avg, tree_cpu_seconds
+    from joern_spark.hostmetrics import (load_avg, steal_fraction,
+                                         steal_fraction_probe,
+                                         tree_cpu_seconds)
 
     load0 = load_avg()
+    steal0 = steal_fraction_probe()
     cpu0 = tree_cpu_seconds()
     t0 = time.time()
     res = run_pipeline(spark, docs, out_dir=args.out_dir, n_parts=args.n_parts)
     n_triples = res.triples.count()
     sec = time.time() - t0
     cpu = tree_cpu_seconds() - cpu0
+    # neighbor pressure DURING the timed section (hypervisor steal fraction):
+    # the validity instrument for scaling pairs — loadavg can't separate our
+    # own threads from neighbors, steal time counts only cycles given away
+    steal_pct = round(100 * steal_fraction(steal0), 2)
 
     cores = spark.sparkContext.defaultParallelism
     print(json.dumps({
         "cores": cores, "docs": n_docs, "triples": n_triples,
         "sec": round(sec, 2), "tps": round(n_triples / sec, 1),
         "cpu_sec": round(cpu, 1), "host_load_before": load0,
+        "steal_pct": steal_pct,
         "resumed": res.stats.get("ast_resumed_parts", 0),
         "stages": {k: v for k, v in res.stats.items() if k.startswith("t_")},
     }))

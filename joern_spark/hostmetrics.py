@@ -70,3 +70,32 @@ def tree_cpu_seconds() -> float:
 def load_avg() -> float:
     with open("/proc/loadavg") as f:
         return float(f.read().split()[0])
+
+
+def steal_fraction_probe() -> tuple[int, float]:
+    """(steal_ticks, monotonic_seconds) snapshot for neighbor-pressure
+    measurement on the shared sandbox host.
+
+    /proc/loadavg cannot separate our own load from hypervisor neighbors
+    mid-run (a 32-thread leg alone drives it to ~32), but steal time counts
+    ONLY cycles the hypervisor gave to other guests — the right validity
+    instrument for a scaling pair: a leg is trustworthy iff the steal
+    fraction across it stayed low."""
+    import time
+
+    with open("/proc/stat") as f:
+        steal = int(f.readline().split()[8])
+    return steal, time.monotonic()
+
+
+def steal_fraction(before: tuple[int, float]) -> float:
+    """Steal fraction of total machine capacity since ``before``
+    (0.0 = hypervisor gave us everything, 0.25 = neighbors took a quarter)."""
+    import os
+
+    s0, t0 = before
+    s1, t1 = steal_fraction_probe()
+    ncpu = os.cpu_count() or 1
+    hz = os.sysconf("SC_CLK_TCK")
+    total = max(1.0, (t1 - t0) * ncpu * hz)
+    return (s1 - s0) / total

@@ -32,6 +32,9 @@ out = {"scaling": {"n_cores": a["cores"], "n4_cores": b["cores"],
 # contention-corrected efficiency: on a shared host, CPU-seconds per unit of
 # work inflate as machine usage grows (external neighbors); cpu_sec isolates
 # our code's scalability from that environmental inflation
+for leg, d in (("n", a), ("4n", b)):
+    if "steal_pct" in d:
+        out["scaling"][f"steal_pct_{leg}"] = d["steal_pct"]
 if "cpu_sec" in a and "cpu_sec" in b and b.get("cpu_sec"):
     corrected = (b["tps"] * b["cpu_sec"] / a["cpu_sec"] / a["tps"]) / 4
     out["scaling"]["cpu_sec_n"] = a["cpu_sec"]
