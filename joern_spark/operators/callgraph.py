@@ -299,16 +299,30 @@ def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _naive_candidates(nodes: DataFrame) -> DataFrame:
-    """Bare-name candidates for EVERY non-operator call (the unlinked-only
-    filter is applied by the arbitration window in :func:`link_calls`, or by
-    the caller's anti-join in :func:`naive_call_linker`)."""
+def _naive_candidates(nodes: DataFrame,
+                      resolved: DataFrame | None = None) -> DataFrame:
+    """Bare-name candidates for non-operator calls.
+
+    ``resolved`` (a frame of already-linked ``src`` call ids) is anti-joined
+    BEFORE the name join: bare-name matching is cross-document quadratic per
+    name (a method called ``run`` defined in k documents and called in k
+    documents yields k² rows), so generating candidates for calls that
+    static/CHA already resolved — rows the arbitration provably never keeps
+    (their ``f_r01`` flag is 1) — costs quadratic work to produce garbage.
+    The reference's NaiveCallLinker has the same shape: it runs on *leftover*
+    calls only (``NaiveCallLinker.scala:13-28``). Without ``resolved`` the
+    unlinked-only filter falls to the caller (arbitration flags, or
+    :func:`naive_call_linker`'s own anti-join)."""
     calls = nodes.filter(
         (F.col("kind") == "CALL") & ~F.col("name").startswith("<operator>")
     ).select(
         F.col("node_id").alias("call_id"), F.col("name").alias("m_name"),
         "doc_id", "method_id",
     )
+    if resolved is not None:
+        calls = calls.join(
+            resolved.select(F.col("src").alias("call_id")), "call_id",
+            "left_anti")
     methods = _method_dim(nodes).filter(~F.col("m_name").startswith("<operator>"))
     return calls.join(budgeted_broadcast(methods), "m_name").select(
         F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
@@ -372,23 +386,20 @@ def candidate_pool(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     dyn = _dynamic_candidates(nodes, edges)
     if dyn is not None:
         cand = cand.unionByName(rank(dyn, 1))
-    cand = cand.unionByName(rank(_naive_candidates(nodes), 3))
-
-    flag = lambda c, n: F.max(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
-    flags = cand.groupBy("src").agg(
-        flag(F.col("rank") <= 1, "p_r01"),
-        flag((F.col("rank") == 1) & ~F.col("m_external"), "p_dyn_int"),
-    )
-    return (
-        cand.join(flags, "src")
-        .filter(
-            (F.col("rank") == 0)
-            | ((F.col("rank") == 1)
-               & (~F.col("m_external") | (F.col("p_dyn_int") == 0)))
-            | ((F.col("rank") == 3) & (F.col("p_r01") == 0))
-        )
-        .drop("p_r01", "p_dyn_int")
-    )
+    # leftover-only naive: anti-join the static/CHA-resolved call ids before
+    # the quadratic name join (re-evaluating the cheap broadcast-join
+    # subtrees once more costs far less than producing the k²-per-name rows
+    # the arbitration would drop anyway). With that, every rank-3 row in the
+    # pool is already arbitration-keepable on the f_r01 axis, so no further
+    # pre-pruning pass is worth a second evaluation of the pool — the final
+    # arbitration in :func:`link_calls` drops the (bounded) CHA-external
+    # leftovers in its single pass.
+    # one evaluation of the static∪CHA subtree: it feeds BOTH the anti-join
+    # build side and the output union (and CHA's super-fallback already
+    # re-reads its own down-branch), so without a barrier it evaluates ~4x
+    cand = cand.localCheckpoint(eager=True)
+    resolved = cand.select("src")
+    return cand.unionByName(rank(_naive_candidates(nodes, resolved), 3))
 
 
 def link_calls(nodes: DataFrame, edges: DataFrame,
