@@ -364,7 +364,8 @@ def prefer_internal_call_edges(call_edges: DataFrame, nodes: DataFrame) -> DataF
     )
 
 
-def candidate_pool(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def candidate_pool(nodes: DataFrame, edges: DataFrame,
+                   barrier: bool | None = None) -> DataFrame:
     """The kernel-independent candidate ranks (static=0, CHA=1, naive=3) as
     one frame — the pipeline materializes this concurrently with the fused
     kernel (whose output only the rank-2 hint candidates need), hiding the
@@ -396,8 +397,12 @@ def candidate_pool(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # leftovers in its single pass.
     # one evaluation of the static∪CHA subtree: it feeds BOTH the anti-join
     # build side and the output union (and CHA's super-fallback already
-    # re-reads its own down-branch), so without a barrier it evaluates ~4x
-    cand = cand.localCheckpoint(eager=True)
+    # re-reads its own down-branch), so without a barrier it evaluates ~4x.
+    # The barrier is a serial stage though — worth it only when the corpus
+    # is big enough that re-evaluation beats its fixed latency (the caller
+    # passes its CALL count; standalone callers default to no barrier).
+    if barrier:
+        cand = cand.localCheckpoint(eager=True)
     resolved = cand.select("src")
     return cand.unionByName(rank(_naive_candidates(nodes, resolved), 3))
 

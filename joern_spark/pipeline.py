@@ -308,9 +308,12 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
                 .unionByName(imports_linker(nodes0, dep_nodes))
                 .unionByName(ns_edges),
                 "edges_base_norec")))
-            # static/CHA/naive call candidates (hint needs the kernel)
+            # static/CHA/naive call candidates (hint needs the kernel);
+            # the pool-internal barrier pays only at corpus scale
+            cand_barrier = counts.get("CALL", 0) > 300_000
             cand_f = pool.submit(timed("cand_spill", lambda: spill.write(
-                candidate_pool(nodes, edges0), "call_candidates")))
+                candidate_pool(nodes, edges0, barrier=cand_barrier),
+                "call_candidates")))
             base_norec = base_norec_f.result()
             cand = cand_f.result()
         return (types, decl_stubs, m_stubs, param_outs, ns_nodes, dep_nodes,
