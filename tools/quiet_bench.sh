@@ -1,22 +1,32 @@
 #!/bin/bash
-# Opportunistic scaling benchmark: run the official N vs 4N spark-submit pair
-# only when the host is quiet (external neighbors share this box), append
-# results to bench_runs.jsonl. Usage: quiet_bench.sh [iterations] [load_max]
+# Opportunistic scaling benchmark: when the host is quiet (and no test suite
+# is running), fire one batch = busy-loop hardware calibration + the 8→32
+# (REP=16) and 4→16 (REP=8) spark-submit pairs, appending everything to
+# bench_runs.jsonl. Each leg self-reports its hypervisor steal fraction
+# (steal_pct) — judge a pair by BOTH legs' steal, not by loadavg, which
+# cannot separate our own threads from neighbors and decays for minutes
+# after any run. Usage: quiet_bench.sh [iterations] [load_max]
 set -e
 cd "$(dirname "$0")/.."
 ITER=${1:-6}
-LOADMAX=${2:-6}
+LOADMAX=${2:-2.5}
 OUT=bench_runs.jsonl
-REP=${REP:-8}
-PAIR_N=${PAIR_N:-8}   # the official gate pair is 8→32
 for i in $(seq "$ITER"); do
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
-  if python -c "import sys; sys.exit(0 if float('$LOAD') < $LOADMAX else 1)"; then
-    echo "iter $i: load $LOAD — running pair N=$PAIR_N REP=$REP" >&2
-    REP=$REP N=$PAIR_N bash tools/submit_scaling.sh | tail -3 >> "$OUT"
+  BUSY=$(pgrep -cf "pytest|check_oracles|bench.py" || true)
+  OK=$(python -c "print(1 if float('$LOAD') < $LOADMAX and int('${BUSY:-0}') == 0 else 0)")
+  if [ "$OK" = "1" ]; then
+    echo "iter $i: load $LOAD — calibrating + firing pairs" >&2
+    CAL=$(python tools/hw_calibration.py 5)
+    echo "$CAL" >> "$OUT"
+    HW416=$(echo "$CAL" | python -c "import json,sys; print(json.load(sys.stdin)['hw_calibration']['eff']['4->16'])")
+    HW832=$(echo "$CAL" | python -c "import json,sys; print(json.load(sys.stdin)['hw_calibration']['eff']['8->32'])")
+    REP=16 N=8 HW_EFF=$HW832 bash tools/submit_scaling.sh | tail -3 >> "$OUT"
+    echo "---" >> "$OUT"
+    REP=8 N=4 HW_EFF=$HW416 bash tools/submit_scaling.sh | tail -3 >> "$OUT"
     echo "---" >> "$OUT"
   else
-    echo "iter $i: load $LOAD — too busy, sleeping" >&2
-    sleep 120
+    echo "iter $i: load $LOAD busy=$BUSY — sleeping" >&2
+    sleep 150
   fi
 done
