@@ -19,8 +19,16 @@ run() {
     2>/dev/null | tail -1
 }
 
-A=$(run "$N")
-B=$(run $((N * 4)))
+# default order runs the WIDE leg first: it is the steal-fragile one (a 4N
+# leg needs 4x the free cores), so it should consume the quiet window and
+# let the narrow leg absorb the tail. ORDER=n-first restores the old order.
+if [ "${ORDER:-4n-first}" = "4n-first" ]; then
+  B=$(run $((N * 4)))
+  A=$(run "$N")
+else
+  A=$(run "$N")
+  B=$(run $((N * 4)))
+fi
 echo "$A"
 echo "$B"
 python - "$A" "$B" <<'EOF'
