@@ -45,3 +45,30 @@ def test_fused_triples_equal(both):
     f = Counter(tuple(r) for r in fused.triples.select("subj", "pred", "obj").collect())
     p = Counter(tuple(r) for r in plain.triples.select("subj", "pred", "obj").collect())
     assert f == p
+
+
+def test_over_budget_fallback_end_to_end(spark, cpg, monkeypatch):
+    """Force the at-scale configuration end to end: dictionary budget 0 (the
+    fused path's collect_recovery_dicts returns None -> _run_dataframe), AND
+    every budgeted_broadcast told the dims do NOT fit (every dim join plans a
+    shuffle join). The triple multiset must equal the fused default run's —
+    the over-budget path is exactly what executes at 100x corpus scale, so
+    its parity is gated in CI, not just asserted once (VERDICT r3 ask #7)."""
+    import joern_spark.operators.type_recovery as tr
+    from joern_spark.operators.dims import dim_fits_hint
+
+    orig = tr.collect_recovery_dicts
+    monkeypatch.setattr(
+        tr, "collect_recovery_dicts",
+        lambda nodes, **kw: orig(nodes, budget=0, **kw))
+
+    docs = fixture_docs_df(spark)
+    with dim_fits_hint(False):
+        res = run_pipeline(spark, docs, n_parts=4)
+    assert res.stats.get("kind_counts") is None  # proves the fused path bailed
+
+    got = Counter(tuple(r) for r in res.triples.select("subj", "pred", "obj").collect())
+    want = Counter(tuple(r) for r in cpg.triples.select("subj", "pred", "obj").collect())
+    missing, extra = want - got, got - want
+    assert not missing, f"fallback missing {len(missing)}: {list(missing)[:5]}"
+    assert not extra, f"fallback extra {len(extra)}: {list(extra)[:5]}"

@@ -103,3 +103,32 @@ def test_anti_join_stays_broadcast(spark):
 
     plan = _plan(customers_without_orders(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_fallback_callgraph_plan_no_window(spark, cpg):
+    """The call arbitration that the over-budget DataFrame fallback runs must
+    never plan a Window(partitionBy src): the window shuffles + sorts the full
+    candidate union and buffers every src group (measured 9x task-CPU
+    inflation at 32 cores, round 3). The one-pass aggregate arbitration is
+    the only acceptable plan on the path that runs at 100x scale."""
+    from joern_spark.operators.callgraph import link_calls
+
+    plan = _plan(link_calls(cpg.nodes, cpg.edges))
+    assert "Window" not in plan, f"fallback arbitration planned a window:\n{plan}"
+
+
+def test_fallback_source_has_no_sequential_chain():
+    """_run_dataframe (the over-budget path) must use the same one-pass
+    arbitration as the fused path — not the sequential linker chain whose
+    naive stage generates bare-name candidates for ALL calls and anti-joins
+    the resolved ones only AFTER the k2-per-name join (212M rows at 80k docs,
+    round-3 profile). The sequential chain survives only as the parity test
+    oracle (tests/test_dims.py::test_link_calls_matches_sequential_chain)."""
+    import inspect
+
+    from joern_spark import pipeline
+
+    src = inspect.getsource(pipeline._run_dataframe)
+    assert "link_calls" in src
+    assert "naive_call_linker" not in src
+    assert "prefer_internal_call_edges" not in src

@@ -37,6 +37,29 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+def type_class(t: str) -> str:
+    """Coarse type class for Spark dtypes and DuckDB logical types.
+
+    Deliberately keeps HUGEINT/DECIMAL distinct from plain ints: the driver's
+    value hash renders DuckDB HUGEINT differently from Spark BIGINT even when
+    fetchall() yields equal Python ints (VERDICT r3 "What's wrong" #1), so the
+    local gate must be at least as strict.
+    """
+    t = t.lower()
+    if t.startswith("decimal") or t == "hugeint" or t == "uhugeint":
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint",
+             "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return t
+
+
 def value_hash(rows, columns) -> str:
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
     lines = sorted(",".join(norm_cell(r[i]) for i in idx) for r in rows)
@@ -72,9 +95,10 @@ def main() -> None:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
@@ -82,6 +106,14 @@ def main() -> None:
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} != {len(drows)}")
+        stype_by_col = dict(sdf.dtypes)
+        dtype_by_col = dict(zip(dcols, dtypes))
+        for c in sorted(set(scols) & set(dcols)):
+            sc, dc = type_class(stype_by_col[c]), type_class(dtype_by_col[c])
+            if sc != dc:
+                problems.append(
+                    f"type mismatch {c}: spark {stype_by_col[c]} ({sc}) vs "
+                    f"duckdb {dtype_by_col[c]} ({dc})")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
         elif value_hash(srows, scols) != value_hash(drows, dcols):
