@@ -148,6 +148,64 @@ z = dyn_obj.total(2)
 s = py_greet("bob")
 """
 
+F16_SCANNERS_C = """/* seeded querydb-scanner positives */
+void risky_io(char *dst, char *src) {
+  char buf[64];
+  gets(buf);
+  scanf("%s", buf);
+  strcpy(dst, src);
+  strcat(dst, src);
+  strtok(src, ",");
+  getwd(buf);
+}
+int shifty(int val, char *src) {
+  int n = strlen(src);
+  val <<= 24;
+  int r = 255 << val;
+  long m = val << val;
+  unsigned int u = 3;
+  int ok = u << 2;
+  return r;
+}
+void drop_priv() {
+  setuid(0);
+}
+void drop_priv_ok() {
+  if (setgid(0) == 0) { setuid(0); }
+}
+int copy_idx(char *dst, char *src, int n) {
+  for (int i = 0; i < n; i++) {
+    dst[i] = src[i];
+  }
+  return 0;
+}
+int copy_mix(char *dst, char *src, int n) {
+  int t = 0;
+  for (int a = 0; a < n; a++) { t = t + a; }
+  for (int b = 0; b < n; b++) { dst[a] = src[b]; }
+  return t;
+}
+void reuse_after_free(char *x, char *y) {
+  free(x);
+  log(x);
+  free(y);
+  y = 0;
+  log(y);
+}"""
+
+F17_INJECTION_JAVA = """class Db {
+  int query(String s) { return len(s); }
+}
+class Controller {
+  ModelAndView handle(String input) {
+    String q = input;
+    Db db = new Db();
+    db.query(q);
+    return null;
+  }
+  int safe(int z) { return z; }
+}"""
+
 F9_TRY_CPP = """int try1() { try { a; } catch (int x) { b; } }
 int try3() {
   try { c; } catch (short u) { d; } catch (int v) { e; } catch (long w) { f; }
@@ -218,6 +276,12 @@ def fixture_docs() -> list[dict]:
         # F15: pysrc-mini — <module> method, indentation blocks, constructor-
         # call type inference, class members, for-loop lowering
         {"doc_id": "fixtures/py/app.py", "spans": split_code_spans(F15_APP_PY, 4)},
+        # F16: querydb scanner positives — dangerous functions, signed shift,
+        # strlen truncation, credential drop, copy loop, use-after-free
+        {"doc_id": "fixtures/c/scanners", "spans": split_code_spans(F16_SCANNERS_C, 5)},
+        # F17: SQL-injection flow (handler param → query() param)
+        {"doc_id": "fixtures/java/Injection.java",
+         "spans": split_code_spans(F17_INJECTION_JAVA, 3)},
     ]
     return docs
 

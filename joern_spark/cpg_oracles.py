@@ -268,6 +268,14 @@ GROUP BY doc_id, bucket
 
 # ---- scan bundle (incl. the reachableBy dataflow query) ---------------------
 
+# operator families shared with the Spark scanners (query/dsl.py constants —
+# interpolated so both sides always test the same vocabulary)
+from .query.dsl import ARRAY_ACCESS_OPS as _ARRACC_OPS  # noqa: E402
+from .query.dsl import ASSIGNMENT_OPS as _ASSIGN_OPS  # noqa: E402
+
+_ASSIGN_IN = ", ".join(f"'{o}'" for o in _ASSIGN_OPS)
+_ARRACC_IN = ", ".join(f"'{o}'" for o in _ARRACC_OPS)
+
 _SCAN_SQL = f"""
 WITH RECURSIVE n AS (SELECT * FROM {_N}), e AS (SELECT * FROM {_E}),
 -- q1: malloc call sites in methods with no free()
@@ -367,9 +375,222 @@ q4 AS (
         JOIN anc a2 ON a2.node_id = c2.node_id
         JOIN cs c3 ON c3.node_id = a2.anc_id
     )
+),
+-- ---- querydb ports (scan.py DEFAULT_BUNDLE queries 5-18) -----------------
+-- shared dims: declaration types (the scan-side evalType) and arguments
+declt AS (
+    SELECT method_id, name, min(type_full_name) AS decl_type
+    FROM n WHERE kind IN ('LOCAL', 'METHOD_PARAMETER_IN')
+      AND type_full_name <> ''
+    GROUP BY method_id, name
+),
+sargs AS (
+    SELECT a.src AS call_id, a.dst AS arg_id, na.argument_index AS a_index,
+           na.kind AS a_kind, na.name AS a_name, na.code AS a_code,
+           na.method_id AS a_mid, na.type_full_name AS a_type
+    FROM e a JOIN n na ON na.node_id = a.dst
+    WHERE a.kind = 'ARGUMENT'
+),
+-- q5-q10: DangerousFunctions.scala call sites
+q5 AS (SELECT 'call-to-gets' AS name, doc_id, code AS finding_code FROM n
+       WHERE kind = 'CALL' AND regexp_matches(name, '(?i)^gets$')),
+q6 AS (SELECT 'call-to-scanf', doc_id, code FROM n
+       WHERE kind = 'CALL' AND regexp_matches(name, '(?i)^scanf$')),
+q7 AS (SELECT 'call-to-strcat', doc_id, code FROM n
+       WHERE kind = 'CALL' AND regexp_matches(name, '(?i)^(strcat|strncat)$')),
+q8 AS (SELECT 'call-to-strcpy', doc_id, code FROM n
+       WHERE kind = 'CALL' AND regexp_matches(name, '(?i)^(strcpy|strncpy)$')),
+q9 AS (SELECT 'call-to-strtok', doc_id, code FROM n
+       WHERE kind = 'CALL' AND regexp_matches(name, '(?i)^strtok$')),
+q10 AS (SELECT 'call-to-getwd', doc_id, code FROM n
+        WHERE kind = 'CALL' AND regexp_matches(name, '(?i)^getwd$')),
+-- q11: format-controlled-printf (non-literal format operand)
+q11 AS (
+    SELECT 'format-controlled-printf' AS name, c.doc_id, c.code AS finding_code
+    FROM n c WHERE c.kind = 'CALL' AND regexp_matches(c.name, '(?i)^printf$')
+      AND NOT EXISTS (SELECT 1 FROM sargs a WHERE a.call_id = c.node_id
+                      AND a.a_index = 1 AND a.a_kind = 'LITERAL')
+    UNION ALL
+    SELECT 'format-controlled-printf', c.doc_id, c.code
+    FROM n c WHERE c.kind = 'CALL'
+      AND regexp_matches(c.name, '(?i)^(sprintf|vsprintf)$')
+      AND NOT EXISTS (SELECT 1 FROM sargs a WHERE a.call_id = c.node_id
+                      AND a.a_index = 2 AND a.a_kind = 'LITERAL')
+),
+-- q12: signed-left-shift (SignedLeftShift.scala)
+q12 AS (
+    SELECT 'signed-left-shift' AS name, c.doc_id, c.code AS finding_code
+    FROM n c
+    JOIN sargs a1 ON a1.call_id = c.node_id AND a1.a_index = 1
+    LEFT JOIN declt d ON d.method_id = a1.a_mid AND d.name = a1.a_name
+    WHERE c.kind = 'CALL'
+      AND c.name IN ('<operator>.shiftLeft', '<operator>.assignmentShiftLeft')
+      AND (CASE WHEN a1.a_kind = 'LITERAL' THEN a1.a_type
+                ELSE d.decl_type END) IN ('int', 'long')
+      AND (SELECT count(*) FROM sargs a WHERE a.call_id = c.node_id
+           AND a.a_index IN (1, 2) AND a.a_kind = 'LITERAL') <> 2
+),
+-- q13: strlen-truncation (IntegerTruncations.scala)
+q13 AS (
+    SELECT 'strlen-truncation' AS name, t.doc_id, t.code AS finding_code
+    FROM (
+        SELECT DISTINCT ta.arg_id AS target_id
+        FROM sargs sa
+        JOIN n sc ON sc.node_id = sa.arg_id AND sc.kind = 'CALL'
+             AND regexp_matches(sc.name, '(?i)^strlen$')
+        JOIN n ac ON ac.node_id = sa.call_id AND ac.name IN ({_ASSIGN_IN})
+        JOIN sargs ta ON ta.call_id = sa.call_id AND ta.a_index = 1
+             AND ta.a_kind = 'IDENTIFIER'
+        JOIN declt d ON d.method_id = ta.a_mid AND d.name = ta.a_name
+             AND regexp_matches(d.decl_type, '^(g?)int$')
+    ) h JOIN n t ON t.node_id = h.target_id
+),
+-- dominator / post-dominator ancestor pairs (strict; DOMINATE = idom->node)
+domup AS (
+    SELECT dst AS node_id, src AS anc_id FROM e WHERE kind = 'DOMINATE'
+    UNION
+    SELECT d.node_id, e.src FROM domup d
+    JOIN e ON e.kind = 'DOMINATE' AND e.dst = d.anc_id
+),
+pdup AS (
+    SELECT dst AS node_id, src AS anc_id FROM e WHERE kind = 'POST_DOMINATE'
+    UNION
+    SELECT d.node_id, e.src FROM pdup d
+    JOIN e ON e.kind = 'POST_DOMINATE' AND e.dst = d.anc_id
+),
+-- q14/q15: CredentialDrop.scala
+q14 AS (
+    SELECT 'setuid-without-setgid' AS name, c.doc_id, c.code AS finding_code
+    FROM n c WHERE c.kind = 'CALL'
+      AND regexp_matches(c.name, '(?i)^set(res|re|e|)uid$')
+      AND NOT EXISTS (
+          SELECT 1 FROM domup d JOIN n g ON g.node_id = d.anc_id
+          WHERE d.node_id = c.node_id AND g.kind = 'CALL'
+            AND regexp_matches(g.name, '(?i)^set(res|re|e|)?gid$'))
+),
+q15 AS (
+    SELECT 'setgid-without-setgroups' AS name, c.doc_id, c.code AS finding_code
+    FROM n c WHERE c.kind = 'CALL'
+      AND regexp_matches(c.name, '(?i)^set(res|re|e|)gid$')
+      AND NOT EXISTS (
+          SELECT 1 FROM domup d JOIN n g ON g.node_id = d.anc_id
+          WHERE d.node_id = c.node_id AND g.kind = 'CALL'
+            AND regexp_matches(g.name, '^setgroups$'))
+),
+-- q16: copy-loop (CopyLoops.scala)
+cl_acc AS (
+    SELECT a.arg_id AS access_id FROM sargs a
+    JOIN n c ON c.node_id = a.call_id AND c.name IN ({_ASSIGN_IN})
+    WHERE a.a_index = 1 AND a.a_kind = 'CALL' AND a.a_name IN ({_ARRACC_IN})
+),
+cl_for AS (
+    SELECT acc.access_id, anc.anc_id AS for_id
+    FROM cl_acc acc JOIN anc ON anc.node_id = acc.access_id
+    JOIN n f ON f.node_id = anc.anc_id AND f.kind = 'CONTROL_STRUCTURE'
+         AND f.ctrl_type = 'FOR'
+),
+cl_kids AS (
+    SELECT DISTINCT cf.for_id, e.dst AS kid_id
+    FROM (SELECT DISTINCT for_id FROM cl_for) cf
+    JOIN e ON e.kind = 'AST' AND e.src = cf.for_id
+    JOIN n k ON k.node_id = e.dst AND k.kind <> 'BLOCK'
+),
+cl_asn_in_for AS (
+    SELECT DISTINCT ck.for_id, a.node_id AS call_id
+    FROM cl_kids ck
+    JOIN (SELECT node_id, node_id AS anc_id FROM n WHERE name IN ({_ASSIGN_IN})
+          UNION
+          SELECT anc.node_id, anc.anc_id FROM anc
+          JOIN n an ON an.node_id = anc.node_id
+               AND an.name IN ({_ASSIGN_IN})) a
+      ON a.anc_id = ck.kid_id
+),
+cl_inc AS (
+    SELECT DISTINCT caf.for_id, ta.a_code AS inc_code
+    FROM cl_asn_in_for caf
+    JOIN sargs ta ON ta.call_id = caf.call_id AND ta.a_index = 1
+),
+q16 AS (
+    SELECT 'copy-loop' AS name, arr.doc_id, arr.code AS finding_code
+    FROM (
+        SELECT DISTINCT aa.arg_id AS array_id
+        FROM cl_for cf
+        JOIN sargs sub ON sub.call_id = cf.access_id AND sub.a_index = 2
+        JOIN cl_inc ci ON ci.for_id = cf.for_id AND ci.inc_code = sub.a_code
+        JOIN sargs aa ON aa.call_id = cf.access_id AND aa.a_index = 1
+    ) h JOIN n arr ON arr.node_id = h.array_id
+),
+-- q17: sql-injection (java/SQLInjection.scala) — same flow recursion as q2
+si_src AS (
+    SELECT p.node_id FROM n p
+    JOIN n mr ON mr.kind = 'METHOD_RETURN'
+         AND regexp_matches(mr.type_full_name, 'ModelAndView')
+         AND mr.method_id = p.method_id
+    WHERE p.kind = 'METHOD_PARAMETER_IN'
+),
+si_sink AS (
+    SELECT p.node_id FROM n p
+    JOIN n m ON m.kind = 'METHOD' AND regexp_matches(m.name, '^query$')
+         AND m.node_id = p.method_id
+    WHERE p.kind = 'METHOD_PARAMETER_IN' AND p."order" = 1
+),
+flq AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM si_sink
+    UNION
+    SELECT s.prev, flq.sink_id, flq.depth + s.dd
+    FROM flq JOIN stepe s ON s.node_id = flq.node_id
+    WHERE flq.depth + s.dd <= 4
+),
+q17 AS (
+    SELECT 'sql-injection' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT flq.sink_id FROM flq
+          JOIN si_src sp ON sp.node_id = flq.node_id) h
+    JOIN n ON n.node_id = h.sink_id
+),
+-- q18: free-follows-value-reuse (UseAfterFree.scala freePostDominatesUsage)
+fr_free AS (
+    SELECT c.node_id AS call_id, a.a_code AS var_code
+    FROM n c JOIN sargs a ON a.call_id = c.node_id AND a.a_index = 1
+         AND a.a_kind = 'IDENTIFIER'
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^(.*_)?free$')
+      AND (SELECT count(*) FROM sargs a2 WHERE a2.call_id = c.node_id) = 1
+),
+fr_uses AS (
+    SELECT f.call_id AS start_id, p.anc_id AS use_id
+    FROM fr_free f JOIN pdup p ON p.node_id = f.call_id
+    JOIN n u ON u.node_id = p.anc_id AND u.kind = 'IDENTIFIER'
+         AND u.code = f.var_code
+),
+fr_reasn AS (
+    SELECT us.start_id, us.use_id
+    FROM fr_uses us
+    JOIN sargs ra ON ra.arg_id = us.use_id AND ra.a_index = 1
+    JOIN n ac ON ac.node_id = ra.call_id AND ac.name IN ({_ASSIGN_IN})
+),
+fr_excl AS (
+    SELECT start_id, use_id FROM fr_reasn
+    UNION
+    SELECT r.start_id, p2.anc_id AS use_id
+    FROM fr_reasn r JOIN pdup p2 ON p2.node_id = r.use_id
+),
+q18 AS (
+    SELECT 'free-follows-value-reuse' AS name, n.doc_id, n.code AS finding_code
+    FROM (
+        SELECT DISTINCT us.use_id FROM fr_uses us
+        WHERE NOT EXISTS (SELECT 1 FROM fr_excl x
+                          WHERE x.start_id = us.start_id
+                            AND x.use_id = us.use_id)
+    ) h JOIN n ON n.node_id = h.use_id
 )
 SELECT * FROM q1 UNION ALL SELECT * FROM q2
 UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
+UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6
+UNION ALL SELECT * FROM q7 UNION ALL SELECT * FROM q8
+UNION ALL SELECT * FROM q9 UNION ALL SELECT * FROM q10
+UNION ALL SELECT * FROM q11 UNION ALL SELECT * FROM q12
+UNION ALL SELECT * FROM q13 UNION ALL SELECT * FROM q14
+UNION ALL SELECT * FROM q15 UNION ALL SELECT * FROM q16
+UNION ALL SELECT * FROM q17 UNION ALL SELECT * FROM q18
 """
 
 ORACLES = {

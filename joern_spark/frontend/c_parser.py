@@ -57,8 +57,19 @@ class CParser:
 
     def __init__(self, text: str):
         self.text = text
-        self.toks: list[Token] = tokenize(text)
+        self.comments: list[Token] = []
+        self.toks: list[Token] = tokenize(text, comments=self.comments)
         self.i = 0
+
+    def comment_nodes(self) -> "list[AstNode]":
+        """COMMENT nodes for the skipped // and /* */ runs — top-level, so
+        lowering attaches them under the FILE node (reference
+        NodeTypeStarters.comment starter; c2cpg emits them when comment
+        parsing is enabled)."""
+        return [
+            AstNode(kind="COMMENT", code=t.text, pos=t.pos, line=t.line)
+            for t in self.comments
+        ]
 
     # --- token helpers -----------------------------------------------------
     def peek(self, k: int = 0) -> Token | None:
@@ -840,4 +851,5 @@ class CParser:
 
 
 def parse_c(text: str) -> list[AstNode]:
-    return CParser(text).parse_translation_unit()
+    p = CParser(text)
+    return p.parse_translation_unit() + p.comment_nodes()

@@ -21,6 +21,15 @@ from .tokenizer import Token
 _MODIFIERS = {"public", "private", "protected", "static", "final", "abstract"}
 
 
+def _modifier_node(t: Token) -> AstNode:
+    """MODIFIER node for an explicit modifier keyword (reference
+    javasrc2cpg AstForDeclarationsCreator modifier emission;
+    NodeTypeStarters.modifier starter). name carries the reference's
+    ModifierTypes constant (upper-case)."""
+    return AstNode(kind="MODIFIER", name=t.text.upper(), code=t.text,
+                   pos=t.pos, line=t.line)
+
+
 class JavaParser(CParser):
     def __init__(self, text: str):
         super().__init__(text)
@@ -126,14 +135,17 @@ class JavaParser(CParser):
 
     def parse_class(self) -> AstNode | None:
         start = self.peek()
+        mod_toks: list[Token] = []
         while self.peek() is not None and self.peek().text in _MODIFIERS:
-            self.eat()
+            mod_toks.append(self.eat())
         if not (self.at("class") or self.at("interface")):
             return None
         self.eat()
         name = self.eat().text if self.at_kind("ident") else "<anonymous>"
         node = AstNode(kind="TYPE_DECL", name=name, full_name=name,
                        pos=start.pos, line=start.line)
+        for mt in mod_toks:
+            node.add(_modifier_node(mt))
         inherits: list[str] = []
         while self.peek() is not None and not self.at("{"):
             if self.at("extends") or self.at("implements"):
@@ -165,10 +177,11 @@ class JavaParser(CParser):
     def parse_class_member(self) -> AstNode | None:
         start = self.peek()
         is_static = False
+        mod_toks: list[Token] = []
         while self.peek() is not None and self.peek().text in _MODIFIERS:
             if self.peek().text == "static":
                 is_static = True
-            self.eat()
+            mod_toks.append(self.eat())
         if self.at("class") or self.at("interface"):
             self.i = self._rewind_modifiers(start)
             return self.parse_class()
@@ -186,15 +199,20 @@ class JavaParser(CParser):
             m.signature = f"{ret_type or 'void'}({','.join(p.type_full_name for p in m.children if p.kind == 'METHOD_PARAMETER_IN')})"
             self.var_types = prev_vars
             self.current_is_static = prev_static
+            for mt in mod_toks:
+                m.add(_modifier_node(mt))
             return m
         # field
         while self.peek() is not None and not self.at(";"):
             self.eat()
         self.accept(";")
-        return AstNode(kind="MEMBER", name=name_tok.text,
-                       code=f"{ret_type} {name_tok.text}".strip(),
-                       type_full_name=ret_type or "ANY",
-                       pos=start.pos, line=start.line)
+        member = AstNode(kind="MEMBER", name=name_tok.text,
+                         code=f"{ret_type} {name_tok.text}".strip(),
+                         type_full_name=ret_type or "ANY",
+                         pos=start.pos, line=start.line)
+        for mt in mod_toks:
+            member.add(_modifier_node(mt))
+        return member
 
     def _rewind_modifiers(self, start: Token) -> int:
         for j, t in enumerate(self.toks):
@@ -354,4 +372,5 @@ class JavaParser(CParser):
 
 
 def parse_java(text: str) -> list[AstNode]:
-    return JavaParser(text).parse_translation_unit()
+    p = JavaParser(text)
+    return p.parse_translation_unit() + p.comment_nodes()

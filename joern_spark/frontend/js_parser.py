@@ -233,4 +233,5 @@ class JsParser(JavaParser):
 
 
 def parse_js(text: str) -> list[AstNode]:
-    return JsParser(text).parse_translation_unit()
+    p = JsParser(text)
+    return p.parse_translation_unit() + p.comment_nodes()

@@ -365,4 +365,5 @@ class PyParser(JsParser):
 
 
 def parse_py(text: str) -> list[AstNode]:
-    return PyParser(text).parse_translation_unit()
+    p = PyParser(text)
+    return p.parse_translation_unit() + p.comment_nodes()

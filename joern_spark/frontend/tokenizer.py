@@ -59,7 +59,10 @@ class Token:
     line: int
 
 
-def tokenize(text: str) -> list[Token]:
+def tokenize(text: str, comments: list[Token] | None = None) -> list[Token]:
+    """``comments`` (optional out-param): collects the skipped // and /* */
+    runs as Tokens so frontends can emit COMMENT nodes
+    (reference NodeTypeStarters.comment; c2cpg AstCreator comment nodes)."""
     tokens: list[Token] = []
     line = 1
     i = 0
@@ -75,6 +78,8 @@ def tokenize(text: str) -> list[Token]:
         kind = m.lastgroup
         tok_text = m.group()
         if kind in ("ws", "comment", "pp"):
+            if kind == "comment" and comments is not None:
+                comments.append(Token("comment", tok_text, m.start(), line))
             line += tok_text.count("\n")
             i = m.end()
             continue

@@ -205,3 +205,34 @@ def test_macro_decl_and_refs(cpg, g):
     sqr_call = nodes[(nodes["kind"] == "CALL") & (nodes["name"] == "SQR")]
     assert len(sqr_call) == 1
     assert len(e[(e["src"] == sqr_call.index[0]) & (e["dst"] == sqr_decl)]) == 1
+
+
+def test_modifier_nodes(g):
+    """Explicit Java modifiers become MODIFIER children (javasrc2cpg
+    modifier emission; NodeTypeStarters.modifier)."""
+    mods = g.doc_nodes(F5)
+    mods = mods[mods["kind"] == "MODIFIER"]
+    assert {"PUBLIC", "STATIC", "PRIVATE"} <= set(mods["name"])
+    # staticMethod carries both public and static
+    methods = g.doc_nodes(F5)
+    sm = methods[(methods["kind"] == "METHOD")
+                 & (methods["name"] == "staticMethod")].index[0]
+    kid_kinds = set(
+        g.nodes.loc[d, "name"] for _, (s, d) in
+        g.doc_edges(F5, "AST")[["src", "dst"]].iterrows()
+        if s == sm and g.nodes.loc[d, "kind"] == "MODIFIER")
+    assert kid_kinds == {"PUBLIC", "STATIC"}
+
+
+def test_comment_nodes(g):
+    """// and /* */ runs become COMMENT nodes under the FILE node
+    (NodeTypeStarters.comment)."""
+    sc = g.doc_nodes("fixtures/c/scanners")
+    comments = sc[sc["kind"] == "COMMENT"]
+    assert list(comments["code"]) == ["/* seeded querydb-scanner positives */"]
+    # parent via AST edges, NOT the pandas parent_id column (nullable id
+    # column → float64 → silently rounds 64-bit ids, CLAUDE.md trap)
+    cid = comments.index[0]
+    e = g.doc_edges("fixtures/c/scanners", "AST")
+    parents = [s for s, d in zip(e["src"], e["dst"]) if d == cid]
+    assert parents and g.nodes.loc[parents[0], "kind"] == "FILE"

@@ -80,6 +80,42 @@ def test_scan_finding_rows_resolve(cpg):
     assert findings.filter(F.col("doc_id").isNull()).count() == 0
 
 
+def test_querydb_ports(cpg):
+    """The 14 querydb-ported queries against the F16/F17 scanner fixtures:
+    exact (name → finding codes) expectations, positives AND negatives."""
+    findings = run_scan(cpg.nodes, cpg.edges).persist()
+    by_name = {}
+    for r in findings.collect():
+        by_name.setdefault(r["name"], []).append((r["doc_id"], r["code"]))
+
+    sc = "fixtures/c/scanners"
+    assert by_name["call-to-gets"] == [(sc, "gets(buf)")]
+    assert by_name["call-to-scanf"] == [(sc, 'scanf("%s", buf)')]
+    assert by_name["call-to-strcat"] == [(sc, "strcat(dst, src)")]
+    assert by_name["call-to-strcpy"] == [(sc, "strcpy(dst, src)")]
+    assert by_name["call-to-strtok"] == [(sc, 'strtok(src, ",")')]
+    assert by_name["call-to-getwd"] == [(sc, "getwd(buf)")]
+    # 255 << val, val << val, val <<= 24 fire; u << 2 (unsigned) must not
+    assert sorted(c for _, c in by_name["signed-left-shift"]) == [
+        "255 << val", "val << val", "val <<= 24"]
+    assert by_name["strlen-truncation"] == [(sc, "n")]
+    # drop_priv's setuid fires; drop_priv_ok's is dominated by setgid(0)
+    assert by_name["setuid-without-setgid"] == [(sc, "setuid(0)")]
+    assert by_name["setgid-without-setgroups"] == [(sc, "setgid(0)")]
+    # copy_idx's dst[i] fires; copy_mix's dst[a] (sibling for increments a)
+    # and src[i] (read position) must not
+    assert by_name["copy-loop"] == [(sc, "dst")]
+    # free(x); log(x) fires on x; free(y); y = 0; log(y) is reassigned
+    assert by_name["free-follows-value-reuse"] == [(sc, "x")]
+    # Injection.java: handle(input) returns ModelAndView, input reaches
+    # Db.query's first parameter
+    assert by_name["sql-injection"] == [("fixtures/java/Injection.java", "String s")]
+    # printf with identifier format in F3/F10 (fixture) — literal formats safe
+    fmt = sorted(by_name["format-controlled-printf"])
+    assert fmt == [("fixtures/c/fnptr", "printf(e)"), ("fixtures/c/test", "printf(x)")]
+    findings.unpersist()
+
+
 # ---- GraphSON + slicing sinks ----------------------------------------------
 
 def test_graphson_export(cpg):

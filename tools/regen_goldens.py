@@ -22,6 +22,7 @@ FIXTURES = [
     "fixtures/c/flow", "fixtures/c/free_list", "fixtures/c/test",
     "fixtures/c/zoo", "fixtures/java/MethodTest.java", "fixtures/java/Dispatch.java",
     "fixtures/js/app.js", "fixtures/py/app.py",
+    "fixtures/c/scanners", "fixtures/java/Injection.java",
 ]
 
 
