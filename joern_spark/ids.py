@@ -26,7 +26,33 @@ def node_id(doc_id: str, span_offset: int, local_index: int) -> int:
 
 
 def stub_id(full_name: str, *extra: object) -> int:
-    return stable_id("stub", full_name, *extra)
+    """Positive 60-bit id for synthesized global stubs.
+
+    md5-based (NOT blake2b like :func:`stable_id`) on purpose: the identical
+    value is expressible as a pure Spark SQL column (:func:`stub_id_col`),
+    which lets the vocabulary passes (TypeNodePass, MethodStubCreator,
+    NamespaceCreator, DependenciesPass, MethodDecoratorPass) run entirely
+    JVM-side — round-3 profiling showed their Python round-trips
+    (``t_stubs`` 21-43 s) dominating the job pool's serial fraction. Python
+    callers (the fused kernel's paramOut synthesis, lowering's
+    INHERITS_FROM targets) compute the same value through this function.
+    """
+    raw = _SEP.join(["stub", str(full_name), *[str(x) for x in extra]])
+    return int(hashlib.md5(raw.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def stub_id_col(*parts):
+    """Spark Column computing :func:`stub_id` — bit-identical: md5 of the
+    \\x1f-joined parts, first 15 hex digits as a base-16 bigint."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    cols = [p.cast("string") if isinstance(p, Column) else F.lit(str(p))
+            for p in parts]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(_SEP, F.lit("stub"), *cols)), 1, 15),
+        16, 10,
+    ).cast("long")
 
 
 def synth_key(doc_id: str) -> int:

@@ -18,26 +18,37 @@ only where the destination id is doc-local (TYPE_DECL).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dims import budgeted_broadcast
 
-from ..ids import stub_id
-from ..schema import EDGES_SCHEMA_DDL, NODES_SCHEMA_DDL, NODE_COLUMNS, rows_to_pdf
+from ..ids import stub_id_col
+from ..schema import NODES_SCHEMA_DDL, NODE_COLUMNS
+
+# column -> Spark type, parsed once from the canonical nodes DDL
+_NODE_TYPES = dict(
+    part.rsplit(" ", 1) for part in NODES_SCHEMA_DDL.split(", ")
+)
+_NODE_DEFAULTS = {
+    "doc_id": "<global>", "name": "", "full_name": "", "code": "",
+    "signature": "", "dispatch_type": "", "order": 0, "argument_index": 0,
+    "line": 0, "span_offset": -1, "type_full_name": "", "is_external": False,
+    "media_ref": "", "ctrl_type": "", "filename": "<global>",
+}
 
 
-def _node_template(**kw) -> dict:
-    row = {c: None for c in NODE_COLUMNS}
-    row.update(doc_id="<global>", name="", full_name="", code="", signature="",
-               dispatch_type="", order=0, argument_index=0, line=0,
-               span_offset=-1, type_full_name="", is_external=False,
-               media_ref="", ctrl_type="", filename="<global>")
-    row.update(kw)
-    return row
+def _node_select(df: DataFrame, **cols) -> DataFrame:
+    """Project ``df`` to the full nodes schema: given columns, template
+    defaults for the rest (same defaults the old Python row template used) —
+    the JVM-side replacement for the vocabulary passes' mapInPandas
+    generators, so stub synthesis stays inside whole-stage codegen."""
+    sel = []
+    for c in NODE_COLUMNS:
+        v = cols.get(c, _NODE_DEFAULTS.get(c))
+        col = v if isinstance(v, Column) else F.lit(v)
+        sel.append(col.cast(_NODE_TYPES[c]).alias(c))
+    return df.select(*sel)
 
 
 def dereference(col):
@@ -52,17 +63,9 @@ def type_nodes(nodes: DataFrame) -> DataFrame:
         .filter((F.col("tn").isNotNull()) & (F.col("tn") != ""))
         .distinct()
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                _node_template(node_id=stub_id("TYPE", tn), kind="TYPE",
-                               name=tn, full_name=tn, code=tn)
-                for tn in pdf["tn"]
-            ]
-            yield rows_to_pdf(rows, NODE_COLUMNS)
-
-    return names.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    return _node_select(
+        names, node_id=stub_id_col("TYPE", F.col("tn")), kind="TYPE",
+        name=F.col("tn"), full_name=F.col("tn"), code=F.col("tn"))
 
 
 def namespace_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -73,17 +76,10 @@ def namespace_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
         "node_id", "name", "doc_id"
     )
     names = blocks.select("name").distinct()
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                _node_template(node_id=stub_id("NAMESPACE", n), kind="NAMESPACE",
-                               name=n, full_name=n, code=n)
-                for n in pdf["name"]
-            ]
-            yield rows_to_pdf(rows, NODE_COLUMNS)
-
-    ns_nodes = names.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    ns_nodes = _node_select(
+        names, node_id=stub_id_col("NAMESPACE", F.col("name")),
+        kind="NAMESPACE", name=F.col("name"), full_name=F.col("name"),
+        code=F.col("name"))
     ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
                              F.col("node_id").alias("ns_id"))
     ref_edges = (
@@ -105,18 +101,11 @@ def type_decl_stubs(types: DataFrame, nodes: DataFrame) -> DataFrame:
     missing = types.select("full_name").join(
         budgeted_broadcast(decls), "full_name", "left_anti"
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                _node_template(node_id=stub_id("TYPE_DECL", fn), kind="TYPE_DECL",
-                               name=fn.split(".")[-1], full_name=fn, code=fn,
-                               is_external=True)
-                for fn in pdf["full_name"]
-            ]
-            yield rows_to_pdf(rows, NODE_COLUMNS)
-
-    return missing.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    fn = F.col("full_name")
+    return _node_select(
+        missing, node_id=stub_id_col("TYPE_DECL", fn), kind="TYPE_DECL",
+        name=F.element_at(F.split(fn, r"\."), -1), full_name=fn, code=fn,
+        is_external=True)
 
 
 def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -147,43 +136,46 @@ def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
     ).distinct()
     missing = calls.join(budgeted_broadcast(methods), "c_full", "left_anti")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            node_rows = []
-            for r in pdf.itertuples(index=False):
-                mid = stub_id("METHOD", r.c_full)
-                node_rows.append(_node_template(
-                    node_id=mid, kind="METHOD", name=r.c_name,
-                    full_name=r.c_full, signature=r.c_sig or "",
-                    code=r.c_name, is_external=True, method_id=mid,
-                ))
-                first = 0 if r.c_disp == "DYNAMIC_DISPATCH" else 1
-                for j, order in enumerate(range(first, int(r.n_args) + 1)):
-                    if order == 0 and first == 1:
-                        continue
-                    pname = f"p{order}"
-                    pid = stub_id("PARAM", r.c_full, order)
-                    node_rows.append(_node_template(
-                        node_id=pid, kind="METHOD_PARAMETER_IN", name=pname,
-                        code=pname, order=order, argument_index=j + 1,
-                        type_full_name="ANY", parent_id=mid, method_id=mid,
-                        is_external=True,
-                    ))
-                bid = stub_id("BLOCK", r.c_full)
-                node_rows.append(_node_template(
-                    node_id=bid, kind="BLOCK", order=1, argument_index=1,
-                    type_full_name="ANY", parent_id=mid, method_id=mid,
-                    is_external=True,
-                ))
-                rid = stub_id("RET", r.c_full)
-                node_rows.append(_node_template(
-                    node_id=rid, kind="METHOD_RETURN", code="RET", order=2,
-                    type_full_name="ANY", parent_id=mid, method_id=mid,
-                    is_external=True,
-                ))
-            yield rows_to_pdf(node_rows, NODE_COLUMNS)
-
-    stub_nodes = missing.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    # pure-JVM stub synthesis (round-3 profile: the Python generator here was
+    # the pool's biggest serial chunk, t_stubs 21-43 s). METHOD/BLOCK/RET are
+    # straight projections; params explode a bounded integer sequence —
+    # receiver at order 0 for dynamic dispatch, p1..pn otherwise
+    # (MethodStubCreator.scala:78-139 shape).
+    mid = stub_id_col("METHOD", F.col("c_full"))
+    m = missing.withColumn("mid", mid).withColumn(
+        "first",
+        F.when(F.col("c_disp") == "DYNAMIC_DISPATCH", F.lit(0)).otherwise(1))
+    method_rows = _node_select(
+        m, node_id=F.col("mid"), kind="METHOD", name=F.col("c_name"),
+        full_name=F.col("c_full"),
+        signature=F.coalesce(F.col("c_sig"), F.lit("")),
+        code=F.col("c_name"), is_external=True, method_id=F.col("mid"))
+    p = m.select(
+        "c_full", "mid", "first",
+        F.explode(
+            F.when(F.col("n_args") >= F.col("first"),
+                   F.sequence(F.col("first"), F.col("n_args").cast("int")))
+            .otherwise(F.array())
+        ).alias("p_order"),
+    )
+    pname = F.concat(F.lit("p"), F.col("p_order").cast("string"))
+    param_rows = _node_select(
+        p, node_id=stub_id_col("PARAM", F.col("c_full"), F.col("p_order")),
+        kind="METHOD_PARAMETER_IN", name=pname, code=pname,
+        order=F.col("p_order"),
+        argument_index=F.col("p_order") - F.col("first") + 1,
+        type_full_name="ANY", parent_id=F.col("mid"), method_id=F.col("mid"),
+        is_external=True)
+    block_rows = _node_select(
+        m, node_id=stub_id_col("BLOCK", F.col("c_full")), kind="BLOCK",
+        order=1, argument_index=1, type_full_name="ANY",
+        parent_id=F.col("mid"), method_id=F.col("mid"), is_external=True)
+    ret_rows = _node_select(
+        m, node_id=stub_id_col("RET", F.col("c_full")), kind="METHOD_RETURN",
+        code="RET", order=2, type_full_name="ANY", parent_id=F.col("mid"),
+        method_id=F.col("mid"), is_external=True)
+    stub_nodes = method_rows.unionByName(param_rows) \
+        .unionByName(block_rows).unionByName(ret_rows)
     stub_edges = (
         stub_nodes.filter(F.col("parent_id").isNotNull())
         .select(
@@ -209,18 +201,10 @@ def dependency_pass(nodes: DataFrame) -> DataFrame:
         .filter(F.col("dep_name").isNotNull() & (F.col("dep_name") != ""))
         .distinct()
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for name in pdf["dep_name"]:
-                rows.append(_node_template(
-                    node_id=stub_id("DEPENDENCY", name), kind="DEPENDENCY",
-                    name=name, full_name=name, code=name, is_external=True,
-                ))
-            yield rows_to_pdf(rows, NODE_COLUMNS)
-
-    return imports.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    dn = F.col("dep_name")
+    return _node_select(
+        imports, node_id=stub_id_col("DEPENDENCY", dn), kind="DEPENDENCY",
+        name=dn, full_name=dn, code=dn, is_external=True)
 
 
 def imports_linker(nodes: DataFrame, deps: DataFrame) -> DataFrame:
@@ -276,24 +260,14 @@ def parameter_out_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     Pure projection — no shuffle: the paramOut id derives from the paramIn id.
     """
     params = nodes.filter(F.col("kind") == "METHOD_PARAMETER_IN")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.to_dict("records"):
-                rows.append(_node_template(
-                    node_id=stub_id("PARAM_OUT", r["node_id"]),
-                    doc_id=r["doc_id"], kind="METHOD_PARAMETER_OUT",
-                    name=r["name"], code=r["code"], order=r["order"],
-                    argument_index=r["argument_index"], line=r["line"],
-                    span_offset=r["span_offset"],
-                    type_full_name=r["type_full_name"],
-                    parent_id=r["parent_id"], method_id=r["method_id"],
-                    filename=r["filename"],
-                ))
-            yield rows_to_pdf(rows, NODE_COLUMNS)
-
-    outs = params.mapInPandas(gen, schema=NODES_SCHEMA_DDL)
+    outs = _node_select(
+        params, node_id=stub_id_col("PARAM_OUT", F.col("node_id")),
+        doc_id=F.col("doc_id"), kind="METHOD_PARAMETER_OUT",
+        name=F.col("name"), code=F.col("code"), order=F.col("order"),
+        argument_index=F.col("argument_index"), line=F.col("line"),
+        span_offset=F.col("span_offset"),
+        type_full_name=F.col("type_full_name"), parent_id=F.col("parent_id"),
+        method_id=F.col("method_id"), filename=F.col("filename"))
     ast_edges = outs.select(
         F.col("parent_id").alias("src"), F.col("node_id").alias("dst"),
         F.lit("AST").alias("kind"), F.lit("").alias("variable"),
