@@ -51,6 +51,20 @@ def _node_select(df: DataFrame, **cols) -> DataFrame:
     return df.select(*sel)
 
 
+def _node_struct(**cols) -> Column:
+    """Full-schema node row as a struct (same defaults/casts as
+    :func:`_node_select`). Used with ``inline`` so one scan can emit several
+    synthesized rows per input row — unioning per-kind projections instead
+    would re-run the pass's upstream (scan → distinct → anti-join) once per
+    branch per consumer, which measurably anti-scaled at 32 cores."""
+    fields = []
+    for c in NODE_COLUMNS:
+        v = cols.get(c, _NODE_DEFAULTS.get(c))
+        col = v if isinstance(v, Column) else F.lit(v)
+        fields.append(col.cast(_NODE_TYPES[c]).alias(c))
+    return F.struct(*fields)
+
+
 def dereference(col):
     """C dereference normalization for linking (strip '*')."""
     return F.regexp_replace(col, r"\*", "")
@@ -137,45 +151,47 @@ def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
     missing = calls.join(budgeted_broadcast(methods), "c_full", "left_anti")
 
     # pure-JVM stub synthesis (round-3 profile: the Python generator here was
-    # the pool's biggest serial chunk, t_stubs 21-43 s). METHOD/BLOCK/RET are
-    # straight projections; params explode a bounded integer sequence —
-    # receiver at order 0 for dynamic dispatch, p1..pn otherwise
-    # (MethodStubCreator.scala:78-139 shape).
+    # the pool's biggest serial chunk, t_stubs 21-43 s). ONE scan emits the
+    # METHOD row plus its BLOCK/RET children and a bounded parameter sequence
+    # — receiver at order 0 for dynamic dispatch, p1..pn otherwise
+    # (MethodStubCreator.scala:78-139 shape) — via inline(concat(array,
+    # transform)). Do NOT union per-kind projections here: each union branch
+    # re-runs the upstream (full-nodes scan → distinct → broadcast anti-join)
+    # per consumer, which turned this pass into a 32-core anti-scaler.
     mid = stub_id_col("METHOD", F.col("c_full"))
     m = missing.withColumn("mid", mid).withColumn(
         "first",
         F.when(F.col("c_disp") == "DYNAMIC_DISPATCH", F.lit(0)).otherwise(1))
-    method_rows = _node_select(
-        m, node_id=F.col("mid"), kind="METHOD", name=F.col("c_name"),
-        full_name=F.col("c_full"),
-        signature=F.coalesce(F.col("c_sig"), F.lit("")),
-        code=F.col("c_name"), is_external=True, method_id=F.col("mid"))
-    p = m.select(
-        "c_full", "mid", "first",
-        F.explode(
-            F.when(F.col("n_args") >= F.col("first"),
-                   F.sequence(F.col("first"), F.col("n_args").cast("int")))
-            .otherwise(F.array())
-        ).alias("p_order"),
-    )
-    pname = F.concat(F.lit("p"), F.col("p_order").cast("string"))
-    param_rows = _node_select(
-        p, node_id=stub_id_col("PARAM", F.col("c_full"), F.col("p_order")),
-        kind="METHOD_PARAMETER_IN", name=pname, code=pname,
-        order=F.col("p_order"),
-        argument_index=F.col("p_order") - F.col("first") + 1,
-        type_full_name="ANY", parent_id=F.col("mid"), method_id=F.col("mid"),
-        is_external=True)
-    block_rows = _node_select(
-        m, node_id=stub_id_col("BLOCK", F.col("c_full")), kind="BLOCK",
+    c_full, c_mid, c_first = F.col("c_full"), F.col("mid"), F.col("first")
+    method_s = _node_struct(
+        node_id=c_mid, kind="METHOD", name=F.col("c_name"),
+        full_name=c_full, signature=F.coalesce(F.col("c_sig"), F.lit("")),
+        code=F.col("c_name"), is_external=True, method_id=c_mid)
+    block_s = _node_struct(
+        node_id=stub_id_col("BLOCK", c_full), kind="BLOCK",
         order=1, argument_index=1, type_full_name="ANY",
-        parent_id=F.col("mid"), method_id=F.col("mid"), is_external=True)
-    ret_rows = _node_select(
-        m, node_id=stub_id_col("RET", F.col("c_full")), kind="METHOD_RETURN",
-        code="RET", order=2, type_full_name="ANY", parent_id=F.col("mid"),
-        method_id=F.col("mid"), is_external=True)
-    stub_nodes = method_rows.unionByName(param_rows) \
-        .unionByName(block_rows).unionByName(ret_rows)
+        parent_id=c_mid, method_id=c_mid, is_external=True)
+    ret_s = _node_struct(
+        node_id=stub_id_col("RET", c_full), kind="METHOD_RETURN",
+        code="RET", order=2, type_full_name="ANY",
+        parent_id=c_mid, method_id=c_mid, is_external=True)
+
+    def param_s(o):
+        pname = F.concat(F.lit("p"), o.cast("string"))
+        return _node_struct(
+            node_id=stub_id_col("PARAM", c_full, o),
+            kind="METHOD_PARAMETER_IN", name=pname, code=pname, order=o,
+            argument_index=o - c_first + 1, type_full_name="ANY",
+            parent_id=c_mid, method_id=c_mid, is_external=True)
+
+    param_structs = F.transform(
+        F.when(F.col("n_args") >= c_first,
+               F.sequence(c_first, F.col("n_args").cast("int")))
+        .otherwise(F.array().cast("array<int>")),
+        param_s,
+    )
+    stub_nodes = m.select(F.inline(
+        F.concat(F.array(method_s, block_s, ret_s), param_structs)))
     stub_edges = (
         stub_nodes.filter(F.col("parent_id").isNotNull())
         .select(
