@@ -206,6 +206,57 @@ class Controller {
   int safe(int z) { return z; }
 }"""
 
+F18_DISPATCH_JIMPLE = """public class JAnimal extends java.lang.Object {
+  public int jnoise(int) {
+    JAnimal r0;
+    int i0;
+    r0 := @this: JAnimal;
+    i0 := @parameter0: int;
+    return i0;
+  }
+}
+public class JDog extends JAnimal {
+  int jbark;
+
+  public int jnoise(int) {
+    JDog r0;
+    int i0, i1;
+    r0 := @this: JDog;
+    i0 := @parameter0: int;
+    i1 = r0.<JDog: int jbark>;
+    i1 = i1 + i0;
+    return i1;
+  }
+}
+public class JKennel extends java.lang.Object {
+  public static int jmain(int) {
+    int i0, i1, i2;
+    JAnimal r1;
+    i0 := @parameter0: int;
+    r1 = new JDog;
+    specialinvoke r1.<JDog: void <init>()>();
+    i1 = 0;
+  jloop:
+    if i0 <= 0 goto jdone;
+    i2 = virtualinvoke r1.<JAnimal: int jnoise(int)>(i0);
+    i1 = i1 + i2;
+    i0 = i0 - 1;
+    goto jloop;
+  jdone:
+    i1 = staticinvoke <JKennel: int jtally(int)>(i1);
+    return i1;
+  }
+  public static int jtally(int) {
+    int i0;
+    i0 := @parameter0: int;
+    lookupswitch(i0) { case 1: goto jone; default: goto jother; };
+  jone:
+    return 1;
+  jother:
+    return i0;
+  }
+}"""
+
 F9_TRY_CPP = """int try1() { try { a; } catch (int x) { b; } }
 int try3() {
   try { c; } catch (short u) { d; } catch (int v) { e; } catch (long w) { f; }
@@ -282,6 +333,11 @@ def fixture_docs() -> list[dict]:
         # F17: SQL-injection flow (handler param → query() param)
         {"doc_id": "fixtures/java/Injection.java",
          "spans": split_code_spans(F17_INJECTION_JAVA, 3)},
+        # F18: jimple-mini (bytecode twin) — identity-stmt parameters, exact
+        # typed invokes, CHA over the declared-class virtualinvoke, if-goto
+        # loop, lookupswitch, instance field read, constructor stub
+        {"doc_id": "fixtures/jimple/Dispatch.jimple",
+         "spans": split_code_spans(F18_DISPATCH_JIMPLE, 4)},
     ]
     return docs
 

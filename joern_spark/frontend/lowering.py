@@ -50,13 +50,21 @@ _CONTAINS_ROOTS = {"METHOD", "TYPE_DECL", "FILE"}
 _PY_HINT = re.compile(r"^\s*def\s+\w+\s*\(.*\)\s*:", re.M)
 
 
+_JIMPLE_HINT = re.compile(r":=\s*@(this|parameter\d+|caughtexception)\b|\b(virtual|special|static|interface)invoke\b")
+
+
 def detect_language(doc_id: str, text: str) -> str:
     if doc_id.endswith(".js") or "/js" in doc_id:
         return "js"
+    if doc_id.endswith(".jimple") or "/jimple/" in doc_id:
+        return "jimple"
     if doc_id.endswith(".java") or "/java" in doc_id:
         return "java"
     if doc_id.endswith(".py") or "/py/" in doc_id:
         return "py"
+    # bytecode sniff: identity statements / typed invokes exist only in Jimple
+    if _JIMPLE_HINT.search(text):
+        return "jimple"
     # content sniff: the JS markers (function/let/const/require) never appear
     # in the C/Java fixture subset, while `class X` appears in both Java and
     # JS — so JS wins only on its own markers; `def f(...):` only in Python
@@ -153,6 +161,9 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     elif lang == "py":
         from .py_parser import parse_py
         tops = parse_py(text)
+    elif lang == "jimple":
+        from .jimple_parser import parse_jimple
+        tops = parse_jimple(text)
     else:
         tops = parse_c(text)
 

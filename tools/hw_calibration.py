@@ -34,9 +34,27 @@ def _burn(q, seconds: float) -> None:
     q.put(n)
 
 
-def throughput(procs: int, seconds: float) -> float:
+def _stream(q, seconds: float) -> None:
+    """Memory-BANDWIDTH-bound leg: byte-copies over a working set far larger
+    than L2. The register-only busy loop measures CPU availability, but Spark
+    tasks (shuffle buffers, Arrow batches, parquet blocks) are bandwidth
+    bound — per-stage event-log attribution shows task time inflating
+    ~1.5-2x from 16 to 32 threads on every stage uniformly, the signature of
+    a saturated shared memory controller, not of a serial fraction."""
+    buf = bytearray(64 * 1024 * 1024)
+    view = memoryview(buf)
+    half = len(buf) // 2
+    t_end = time.time() + seconds
+    n = 0
+    while time.time() < t_end:
+        view[0:half] = view[half:]
+        n += 1
+    q.put(n)
+
+
+def throughput(procs: int, seconds: float, fn=_burn) -> float:
     q: mp.Queue = mp.Queue()
-    ps = [mp.Process(target=_burn, args=(q, seconds)) for _ in range(procs)]
+    ps = [mp.Process(target=fn, args=(q, seconds)) for _ in range(procs)]
     t0 = time.time()
     for p in ps:
         p.start()
@@ -49,13 +67,22 @@ def throughput(procs: int, seconds: float) -> float:
 def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 6.0
     points = {}
+    mem_points = {}
     for procs in (2, 4, 8, 16, 32):
         points[procs] = round(throughput(procs, seconds), 1)
+        mem_points[procs] = round(throughput(procs, seconds, _stream), 1)
     eff = {
         f"{n}->{4 * n}": round(points[4 * n] / points[n] / 4, 3)
         for n in (2, 4, 8)
     }
-    print(json.dumps({"hw_calibration": {"points": points, "eff": eff}}))
+    mem_eff = {
+        f"{n}->{4 * n}": round(mem_points[4 * n] / mem_points[n] / 4, 3)
+        for n in (2, 4, 8)
+    }
+    print(json.dumps({"hw_calibration": {
+        "points": points, "eff": eff,
+        "mem_points": mem_points, "mem_eff": mem_eff,
+    }}))
 
 
 if __name__ == "__main__":
