@@ -103,3 +103,4 @@ F11 = "fixtures/java/Hint.java"
 F12 = "fixtures/c/macro"
 F13 = "fixtures/js/app.js"
 F15 = "fixtures/py/app.py"
+F18 = "fixtures/jimple/Dispatch.jimple"

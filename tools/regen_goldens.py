@@ -23,6 +23,7 @@ FIXTURES = [
     "fixtures/c/zoo", "fixtures/java/MethodTest.java", "fixtures/java/Dispatch.java",
     "fixtures/js/app.js", "fixtures/py/app.py",
     "fixtures/c/scanners", "fixtures/java/Injection.java",
+    "fixtures/jimple/Dispatch.jimple",
 ]
 
 
