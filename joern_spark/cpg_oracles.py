@@ -75,6 +75,7 @@ parts AS (
            lpad(CAST(k % 50 AS VARCHAR), 2, '0') AS nn,
            (k % 5 = 0) AS has_media,
            (k % 11 = 3) AS is_js,
+           (k % 11 = 5) AS is_jimple,
            (k % 11 = 7) AS is_py
     FROM kk
 ),
@@ -85,6 +86,13 @@ spans0 AS (
            'function helper_' || m6 || '(x) {{' || {_NL} ||
            '  let s = x + ' || bn || ';' || {_NL} ||
            '  log(s);'
+           WHEN is_jimple THEN
+           'public class JW_' || m6 || ' extends java.lang.Object {{' || {_NL} ||
+           '  public int jrun(int) {{' || {_NL} ||
+           '    JW_' || m6 || ' r0;' || {_NL} ||
+           '    int i0, i1;' || {_NL} ||
+           '    r0 := @this: JW_' || m6 || ';' || {_NL} ||
+           '    i0 := @parameter0: int;'
            WHEN is_py THEN
            'import pkg_' || nn || {_NL} ||
            'def helper_' || m6 || '(x):' || {_NL} ||
@@ -106,6 +114,13 @@ spans0 AS (
            '}}' || {_NL} ||
            'class W_' || m6 || ' {{' || {_NL} ||
            '  run(v) {{ return v + ' || cn || '; }}'
+           WHEN is_jimple THEN
+           '    i1 = i0 + ' || cn || ';' || {_NL} ||
+           '    i1 = virtualinvoke r0.<JW_' || m6 || ': int jtally(int)>(i1);' || {_NL} ||
+           '    i1 = staticinvoke <JLog: int log(int)>(i1);' || {_NL} ||
+           '    return i1;' || {_NL} ||
+           '  }}' || {_NL} ||
+           '  public int jtally(int) {{'
            WHEN is_py THEN
            '    return s' || {_NL} ||
            'class W_' || m6 || ':' || {_NL} ||
@@ -126,6 +141,12 @@ spans0 AS (
            'let w = new W_' || m6 || '();' || {_NL} ||
            'let t = w.run(' || an || ');' || {_NL} ||
            'let u = helper_' || m6 || '(t);'
+           WHEN is_jimple THEN
+           '    int j0;' || {_NL} ||
+           '    j0 := @parameter0: int;' || {_NL} ||
+           '    return j0;' || {_NL} ||
+           '  }}' || {_NL} ||
+           '}}'
            WHEN is_py THEN
            'w = W_' || m6 || '()' || {_NL} ||
            't = w.run(' || an || ')' || {_NL} ||

@@ -90,6 +90,35 @@ def py_code_for_key(k: int, helper: str) -> str:
     )
 
 
+def jimple_code_for_key(k: int, helper: str) -> str:
+    """Deterministic Jimple class for the bytecode slice of the corpus
+    (``k % 11 == 5``): identity-statement parameters, an internal
+    virtualinvoke (exact static-shape CHA), and a corpus-wide hot stub key
+    ``JLog.log`` (the skewed call-linking key, like printf/malloc in the C
+    slice). Mirrored line-for-line by the cpg_span_provenance DuckDB oracle
+    (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"public class JW_{m6} extends java.lang.Object {{\n"
+        f"  public int jrun(int) {{\n"
+        f"    JW_{m6} r0;\n"
+        f"    int i0, i1;\n"
+        f"    r0 := @this: JW_{m6};\n"
+        f"    i0 := @parameter0: int;\n"
+        f"    i1 = i0 + {k % 7};\n"
+        f"    i1 = virtualinvoke r0.<JW_{m6}: int jtally(int)>(i1);\n"
+        f"    i1 = staticinvoke <JLog: int log(int)>(i1);\n"
+        f"    return i1;\n"
+        f"  }}\n"
+        f"  public int jtally(int) {{\n"
+        f"    int j0;\n"
+        f"    j0 := @parameter0: int;\n"
+        f"    return j0;\n"
+        f"  }}\n"
+        f"}}"
+    )
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -109,6 +138,8 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
                 helper = f"helper_{k % 1000000:06d}"
                 if k % 11 == 3:
                     code = js_code_for_key(k, helper)
+                elif k % 11 == 5:
+                    code = jimple_code_for_key(k, helper)
                 elif k % 11 == 7:
                     code = py_code_for_key(k, helper)
                 else:

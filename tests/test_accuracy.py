@@ -126,6 +126,72 @@ CASES = {
         "void a11(struct S11 *s11) { s11->f = 1111; s11->f = 0;"
         " sink111(s11->f); }",
         "1111", False, False),
+    # ---- bytecode twins (jimple-mini) -------------------------------------
+    # The reference's benchmark tables run every suite twice — source AND
+    # bytecode (benchmarks/README.md:28-45, jimple2cpg rows). These re-seed
+    # the load-bearing categories through the 3-address frontend: identity-
+    # statement parameters, exact staticinvoke linking, if-goto joins.
+    "jbc_basic_direct": ("Basic",
+        "public class JA1 extends java.lang.Object {\n"
+        "  public static void jc1() {\n"
+        "    int a0;\n    a0 = 2001;\n"
+        "    staticinvoke <JSink: void sink201(int)>(a0);\n    return;\n"
+        "  }\n}", "2001", True, True),
+    "jbc_basic_unrelated": ("Basic",
+        "public class JA2 extends java.lang.Object {\n"
+        "  public static void jc2() {\n"
+        "    int a0, b0;\n    a0 = 2002;\n    b0 = 7;\n"
+        "    staticinvoke <JSink: void sink202(int)>(b0);\n    return;\n"
+        "  }\n}", "2002", False, False),
+    "jbc_binop": ("Basic",
+        "public class JA3 extends java.lang.Object {\n"
+        "  public static void jc3() {\n"
+        "    int a0, b0;\n    a0 = 2003;\n    b0 = a0 + 1;\n"
+        "    staticinvoke <JSink: void sink203(int)>(b0);\n    return;\n"
+        "  }\n}", "2003", True, True),
+    "jbc_overwrite": ("Strong Updates",
+        "public class JA4 extends java.lang.Object {\n"
+        "  public static void jc4() {\n"
+        "    int a0;\n    a0 = 2004;\n    a0 = 0;\n"
+        "    staticinvoke <JSink: void sink204(int)>(a0);\n    return;\n"
+        "  }\n}", "2004", False, False),
+    "jbc_interproc_param": ("Inter-procedural",
+        "public class JA5 extends java.lang.Object {\n"
+        "  public static void jh5(int) {\n"
+        "    int x5;\n    x5 := @parameter0: int;\n"
+        "    staticinvoke <JSink: void sink205(int)>(x5);\n    return;\n"
+        "  }\n"
+        "  public static void jc5() {\n"
+        "    staticinvoke <JA5: void jh5(int)>(2005);\n    return;\n"
+        "  }\n}", "2005", True, True),
+    "jbc_interproc_return": ("Inter-procedural",
+        "public class JA6 extends java.lang.Object {\n"
+        "  public static int jh6() {\n    return 2006;\n  }\n"
+        "  public static void jc6() {\n"
+        "    int a6;\n"
+        "    a6 = staticinvoke <JA6: int jh6()>();\n"
+        "    staticinvoke <JSink: void sink206(int)>(a6);\n    return;\n"
+        "  }\n}", "2006", True, True),
+    "jbc_wrong_arg_index": ("Inter-procedural",
+        "public class JA7 extends java.lang.Object {\n"
+        "  public static void jh7(int, int) {\n"
+        "    int x7, y7;\n    x7 := @parameter0: int;\n"
+        "    y7 := @parameter1: int;\n"
+        "    staticinvoke <JSink: void sink207(int)>(y7);\n    return;\n"
+        "  }\n"
+        "  public static void jc7() {\n"
+        "    staticinvoke <JA7: void jh7(int,int)>(2007, 2);\n    return;\n"
+        "  }\n}", "2007", False, False),
+    "jbc_branch_join": ("Predicates",
+        "public class JA8 extends java.lang.Object {\n"
+        "  public static void jc8(int) {\n"
+        "    int a0, b0, c0;\n    c0 := @parameter0: int;\n"
+        "    a0 = 2008;\n    b0 = 0;\n"
+        "    if c0 <= 0 goto jskip8;\n"
+        "    b0 = a0;\n"
+        "  jskip8:\n"
+        "    staticinvoke <JSink: void sink208(int)>(b0);\n    return;\n"
+        "  }\n}", "2008", True, True),
 }
 
 
