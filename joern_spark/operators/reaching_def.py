@@ -619,9 +619,20 @@ def reaching_def_pass(nodes: DataFrame, all_edges: DataFrame) -> DataFrame:
         .select(F.col("full_name").alias("mi_full")).distinct()
         .withColumn("callee_internal", F.lit(True))
     )
-    enriched = nodes.join(
+    # global stubs have no body — the reference's ReachingDefPass (and the
+    # fused kernel) never runs over them. They MUST be excluded here rather
+    # than left to fail structurally: a stub group's METHOD row has a null
+    # parent_id, which flips the whole group's parent_id column to float64
+    # in the applyInPandas conversion and silently rounds 63-bit ids — ids
+    # that happen to survive the round-trip (divisible by the float spacing)
+    # would then emit param→RET edges nondeterministically per id scheme.
+    # parent_id is additionally null-coalesced so no group can ever take the
+    # float64 path (CLAUDE.md id-corruption trap, input direction).
+    body_nodes = nodes.filter(F.col("doc_id") != "<global>").withColumn(
+        "parent_id", F.coalesce(F.col("parent_id"), F.lit(-1)))
+    enriched = body_nodes.join(
         budgeted_broadcast(internal_methods),
-        (nodes["kind"] == "CALL") & (nodes["full_name"] == internal_methods["mi_full"]),
+        (body_nodes["kind"] == "CALL") & (body_nodes["full_name"] == internal_methods["mi_full"]),
         "left",
     ).drop("mi_full")
 
