@@ -191,6 +191,35 @@ void reuse_after_free(char *x, char *y) {
   free(y);
   y = 0;
   log(y);
+}
+void rv_unchecked(int fd) {
+  char rbuf[8];
+  read(fd, rbuf, 8);
+}
+int rv_checked(int fd) {
+  char rbuf2[8];
+  int nb = read(fd, rbuf2, 8);
+  if (nb > 0) { nb = 0; }
+  return nb;
+}
+int rv_direct(int fd) {
+  char rbuf3[8];
+  if (read(fd, rbuf3, 8) > 0) { return 1; }
+  return 0;
+}
+void sock_unchecked(int sfd, char *sbuf) {
+  send(sfd, sbuf, 8, 0);
+}
+void sock_checked(int sfd2, char *sbuf2) {
+  if (send(sfd2, sbuf2, 8, 0) <= 0) { sfd2 = 0; }
+}
+void race_two(char *rpath) {
+  chmod(rpath, 0);
+  rename(rpath, "/tmp/nx");
+}
+void race_ok(char *rp2, char *rp3) {
+  chmod(rp2, 0);
+  rename(rp3, "/tmp/nx2");
 }"""
 
 F17_INJECTION_JAVA = """class Db {
@@ -204,6 +233,9 @@ class Controller {
     return null;
   }
   int safe(int z) { return z; }
+}
+class Exec {
+  Process spawn(Runtime rt, String cmd) { return rt.exec(cmd); }
 }"""
 
 F18_DISPATCH_JIMPLE = """public class JAnimal extends java.lang.Object {

@@ -602,6 +602,89 @@ q18 AS (
                           WHERE x.start_id = us.start_id
                             AND x.use_id = us.use_id)
     ) h JOIN n ON n.node_id = h.use_id
+),
+-- q19/q20: returnValueNotChecked (RetvalChecks.scala:12-27 via
+-- QueryLangExtensions.scala:11-27; SocketApi.scala:14-31)
+rvc AS (
+    SELECT c.node_id, c.code AS c_code, c.method_id AS c_mid, c.doc_id,
+           CASE WHEN regexp_matches(c.name, '(?i)^send$') THEN 'socket-send'
+                ELSE 'unchecked-read-recv-malloc' END AS qname
+    FROM n c WHERE c.kind = 'CALL'
+      AND regexp_matches(c.name, '(?i)^(read|recv|malloc|send)$')
+),
+rvc_direct AS (
+    SELECT DISTINCT r.node_id FROM rvc r
+    JOIN anc a ON a.node_id = r.node_id
+    JOIN e ce ON ce.kind = 'CONDITION' AND ce.src = a.anc_id
+    JOIN n cn ON cn.node_id = ce.dst
+    WHERE contains(cn.code, r.c_code)
+),
+rvc_ret AS (
+    SELECT DISTINCT r.node_id FROM rvc r
+    JOIN anc a ON a.node_id = r.node_id
+    JOIN n rn ON rn.node_id = a.anc_id AND rn.kind = 'RETURN'
+),
+rvc_tgt AS (
+    SELECT r.node_id, ta.a_code AS t_code, r.c_mid
+    FROM rvc r
+    JOIN sargs ra ON ra.arg_id = r.node_id AND ra.a_index = 2
+    JOIN n ac ON ac.node_id = ra.call_id AND ac.name IN ({_ASSIGN_IN})
+    JOIN sargs ta ON ta.call_id = ra.call_id AND ta.a_index = 1
+),
+rvc_cond_nodes AS (
+    SELECT x.method_id,
+           CASE WHEN x.kind = 'IDENTIFIER' THEN x.name ELSE x.code END
+               AS chk_code
+    FROM n x
+    WHERE x.kind IN ('IDENTIFIER', 'CALL') AND (
+        EXISTS (SELECT 1 FROM e ce WHERE ce.kind = 'CONDITION'
+                AND ce.dst = x.node_id)
+        OR EXISTS (SELECT 1 FROM anc a
+                   JOIN e ce ON ce.kind = 'CONDITION' AND ce.dst = a.anc_id
+                   WHERE a.node_id = x.node_id))
+),
+rvc_tgt_checked AS (
+    SELECT DISTINCT t.node_id FROM rvc_tgt t
+    JOIN rvc_cond_nodes cn ON cn.method_id = t.c_mid
+         AND cn.chk_code = t.t_code
+),
+q19 AS (
+    SELECT r.qname AS name, r.doc_id, r.c_code AS finding_code
+    FROM rvc r
+    WHERE r.node_id NOT IN (SELECT node_id FROM rvc_direct)
+      AND r.node_id NOT IN (SELECT node_id FROM rvc_ret)
+      AND r.node_id NOT IN (SELECT node_id FROM rvc_tgt_checked)
+),
+-- q21: file-operation-race (FileOpRace.scala:13-72)
+fo_ops(op_name, op_idx) AS (VALUES
+    ('access',1),('chdir',1),('chmod',1),('chown',1),('creat',1),
+    ('faccessat',2),('fchmodat',2),('fopen',1),('fstatat',2),('lchown',1),
+    ('linkat',2),('linkat',4),('link',1),('link',2),('lstat',1),
+    ('mkdirat',2),('mkdir',1),('mkfifoat',2),('mkfifo',1),('mknodat',2),
+    ('mknod',1),('openat',2),('open',1),('readlinkat',2),('readlink',1),
+    ('renameat',2),('renameat',4),('rename',1),('rename',2),('rmdir',1),
+    ('stat',1),('unlinkat',2),('unlink',1)),
+fo_calls AS (
+    SELECT c.node_id, c.method_id, a.a_code
+    FROM n c
+    JOIN fo_ops o ON o.op_name = c.name
+    JOIN sargs a ON a.call_id = c.node_id AND a.a_index = o.op_idx
+         AND a.a_kind <> 'LITERAL'
+    WHERE c.kind = 'CALL'
+),
+q21 AS (
+    SELECT 'file-operation-race' AS name, n.doc_id, n.code AS finding_code
+    FROM (
+        SELECT DISTINCT f.node_id FROM fo_calls f
+        JOIN fo_calls g ON g.method_id = f.method_id
+             AND g.a_code = f.a_code AND g.node_id <> f.node_id
+    ) h JOIN n ON n.node_id = h.node_id
+),
+-- q22: call-to-exec (java/DangerousFunctions.scala:12-27)
+q22 AS (
+    SELECT 'call-to-exec' AS name, doc_id, code AS finding_code FROM n
+    WHERE kind = 'CALL'
+      AND regexp_matches(full_name, '^(java\\.lang\\.)?Runtime\\.exec$')
 )
 SELECT * FROM q1 UNION ALL SELECT * FROM q2
 UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
@@ -612,6 +695,8 @@ UNION ALL SELECT * FROM q11 UNION ALL SELECT * FROM q12
 UNION ALL SELECT * FROM q13 UNION ALL SELECT * FROM q14
 UNION ALL SELECT * FROM q15 UNION ALL SELECT * FROM q16
 UNION ALL SELECT * FROM q17 UNION ALL SELECT * FROM q18
+UNION ALL SELECT * FROM q19 UNION ALL SELECT * FROM q21
+UNION ALL SELECT * FROM q22
 """
 
 ORACLES = {

@@ -221,6 +221,131 @@ def _not_dominated_by(cpg: Cpg, call_regex: str, guard_regex: str) -> DataFrame:
     return starts.join(guarded, "node_id", "left_anti")
 
 
+def _return_value_not_checked(cpg: Cpg, call_regex: str) -> DataFrame:
+    """``returnValueNotChecked`` (QueryLangExtensions.scala:11-27): calls
+    whose result is (a) not compared inside an enclosing condition, (b) whose
+    assignment target never appears in any condition of the method, and
+    (c) not directly returned. Used by RetvalChecks.scala:12-27
+    (read/recv/malloc) and SocketApi.scala:14-31 (send)."""
+    calls = cpg.call(call_regex).to_df().select(
+        "node_id", F.col("code").alias("c_code"),
+        F.col("method_id").alias("c_mid"))
+    starts = calls.select("node_id")
+    anc = _ancestor_pairs(cpg.edges, "AST", starts)
+    # (a) an AST ancestor is a control structure whose condition's code
+    # contains the call's code
+    cond = cpg.edges.filter(F.col("kind") == "CONDITION").select(
+        F.col("src").alias("anc_id"), F.col("dst").alias("cond_id"))
+    cond_code = cpg.nodes.select(F.col("node_id").alias("cond_id"),
+                                 F.col("code").alias("cond_code"))
+    direct = (
+        anc.join(cond, "anc_id").join(cond_code, "cond_id")
+        .join(calls, anc["start_id"] == calls["node_id"])
+        .filter(F.col("cond_code").contains(F.col("c_code")))
+        .select(F.col("start_id").alias("node_id")).distinct()
+    )
+    # (c) directly returned
+    anc_kind = cpg.nodes.select(F.col("node_id").alias("anc_id"),
+                                F.col("kind").alias("anc_kind"))
+    in_ret = (anc.join(anc_kind, "anc_id")
+              .filter(F.col("anc_kind") == "RETURN")
+              .select(F.col("start_id").alias("node_id")).distinct())
+    # (b) the assignment target's code appears among the method's condition
+    # subtrees (identifier names ∪ call codes — the reference's checkedVars)
+    args = _args(cpg)
+    asn = cpg.nodes.filter(F.col("name").isin(list(ASSIGNMENT_OPS))).select(
+        F.col("node_id").alias("call_id"))
+    rhs = args.join(asn, "call_id").filter(F.col("argument_index") == 2).select(
+        "call_id", F.col("arg_id").alias("rhs_id"))
+    tgt = args.filter(F.col("argument_index") == 1).select(
+        F.col("call_id").alias("t_call"), F.col("a_code").alias("t_code"))
+    call_tgt = (rhs.join(calls, rhs["rhs_id"] == calls["node_id"])
+                .join(tgt, F.col("call_id") == F.col("t_call"))
+                .select("node_id", "t_code", "c_mid"))
+    mids = calls.select(F.col("c_mid").alias("method_id")).distinct()
+    cand = cpg.nodes.join(mids, "method_id").filter(
+        F.col("kind").isin("IDENTIFIER", "CALL")).select(
+        "node_id", "method_id", "kind", "name", "code")
+    anc2 = _ancestor_pairs(cpg.edges, "AST", cand.select("node_id"))
+    cond_roots = cpg.edges.filter(F.col("kind") == "CONDITION").select(
+        F.col("dst").alias("anc_id"))
+    in_cond = (
+        anc2.join(cond_roots, "anc_id")
+        .select(F.col("start_id").alias("node_id"))
+        .unionByName(cand.select("node_id").join(
+            cond_roots.withColumnRenamed("anc_id", "node_id"), "node_id"))
+        .distinct()
+    )
+    checked = (cand.join(in_cond, "node_id")
+               .select("method_id",
+                       F.when(F.col("kind") == "IDENTIFIER", F.col("name"))
+                       .otherwise(F.col("code")).alias("chk_code"))
+               .distinct())
+    tgt_checked = (
+        call_tgt.join(checked,
+                      (call_tgt["c_mid"] == checked["method_id"])
+                      & (call_tgt["t_code"] == checked["chk_code"]))
+        .select(call_tgt["node_id"]).distinct()
+    )
+    return (starts.join(direct, "node_id", "left_anti")
+            .join(in_ret, "node_id", "left_anti")
+            .join(tgt_checked, "node_id", "left_anti"))
+
+
+def _unchecked_read_recv_malloc(cpg: Cpg) -> DataFrame:
+    return _return_value_not_checked(cpg, "(?i)^(read|recv|malloc)$")
+
+
+def _socket_send(cpg: Cpg) -> DataFrame:
+    return _return_value_not_checked(cpg, "(?i)^send$")
+
+
+# FileOpRace.scala:28-58 — path argument positions per file operation
+_FILE_OPS = {
+    "access": [1], "chdir": [1], "chmod": [1], "chown": [1], "creat": [1],
+    "faccessat": [2], "fchmodat": [2], "fopen": [1], "fstatat": [2],
+    "lchown": [1], "linkat": [2, 4], "link": [1, 2], "lstat": [1],
+    "mkdirat": [2], "mkdir": [1], "mkfifoat": [2], "mkfifo": [1],
+    "mknodat": [2], "mknod": [1], "openat": [2], "open": [1],
+    "readlinkat": [2], "readlink": [1], "renameat": [2, 4],
+    "rename": [1, 2], "rmdir": [1], "stat": [1], "unlinkat": [2],
+    "unlink": [1],
+}
+
+
+def _file_operation_race(cpg: Cpg) -> DataFrame:
+    """FileOpRace.scala:13-72: two file operations in one method share a
+    non-literal path argument (TOCTOU race)."""
+    spark = cpg.nodes.sparkSession
+    ops = spark.createDataFrame(
+        [(k, i) for k, v in _FILE_OPS.items() for i in v],
+        "op_name string, op_idx int")
+    calls = cpg.nodes.filter(F.col("kind") == "CALL").select(
+        "node_id", "name", "method_id")
+    args = _args(cpg)
+    fo = (calls.join(F.broadcast(ops), calls["name"] == ops["op_name"])
+          .join(args, calls["node_id"] == args["call_id"])
+          .filter((F.col("argument_index") == F.col("op_idx"))
+                  & (F.col("a_kind") != "LITERAL"))
+          .select("node_id", "method_id", "a_code"))
+    other = fo.select(F.col("node_id").alias("o_id"),
+                      F.col("method_id").alias("o_mid"),
+                      F.col("a_code").alias("o_code"))
+    return (fo.join(other, (fo["method_id"] == other["o_mid"])
+                    & (fo["a_code"] == other["o_code"])
+                    & (fo["node_id"] != other["o_id"]))
+            .select("node_id").distinct())
+
+
+def _call_to_exec(cpg: Cpg) -> DataFrame:
+    """java/DangerousFunctions.scala:12-27: Runtime.exec call sites (full
+    name — the mini-frontends key dynamic calls by simple class names)."""
+    return cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("full_name").rlike(r"^(java\.lang\.)?Runtime\.exec$")
+    ).select("node_id")
+
+
 def _setuid_without_setgid(cpg: Cpg) -> DataFrame:
     return _not_dominated_by(cpg, "(?i)^set(res|re|e|)uid$",
                              "(?i)^set(res|re|e|)?gid$")
@@ -406,6 +531,19 @@ DEFAULT_BUNDLE = [
     Query("free-follows-value-reuse",
           "A value that is free'd is reused without reassignment", 5.0,
           _free_follows_value_reuse),
+    # querydb/c/RetvalChecks.scala
+    Query("unchecked-read-recv-malloc",
+          "Return value of read/recv/malloc is never checked", 3.0,
+          _unchecked_read_recv_malloc),
+    # querydb/c/SocketApi.scala
+    Query("socket-send", "Unchecked call to send", 2.0, _socket_send),
+    # querydb/c/FileOpRace.scala
+    Query("file-operation-race",
+          "Two file operations on the same path can act on different files",
+          3.0, _file_operation_race),
+    # querydb/java/DangerousFunctions.scala
+    Query("call-to-exec", "Dangerous function Runtime.exec used", 8.0,
+          _call_to_exec),
 ]
 
 

@@ -81,7 +81,7 @@ def test_scan_finding_rows_resolve(cpg):
 
 
 def test_querydb_ports(cpg):
-    """The 14 querydb-ported queries against the F16/F17 scanner fixtures:
+    """The 18 querydb-ported queries against the F16/F17 scanner fixtures:
     exact (name → finding codes) expectations, positives AND negatives."""
     findings = run_scan(cpg.nodes, cpg.edges).persist()
     by_name = {}
@@ -113,6 +113,18 @@ def test_querydb_ports(cpg):
     # printf with identifier format in F3/F10 (fixture) — literal formats safe
     fmt = sorted(by_name["format-controlled-printf"])
     assert fmt == [("fixtures/c/fnptr", "printf(e)"), ("fixtures/c/test", "printf(x)")]
+    # returnValueNotChecked (RetvalChecks/SocketApi): rv_unchecked fires;
+    # rv_checked (target in a later condition) and rv_direct (call inside
+    # the condition) must not
+    assert by_name["unchecked-read-recv-malloc"] == [(sc, "read(fd, rbuf, 8)")]
+    assert by_name["socket-send"] == [(sc, "send(sfd, sbuf, 8, 0)")]
+    # FileOpRace: race_two's chmod+rename share rpath (both flagged);
+    # race_ok's operations touch different paths
+    assert sorted(c for _, c in by_name["file-operation-race"]) == [
+        "chmod(rpath, 0)", 'rename(rpath, "/tmp/nx")']
+    # java/DangerousFunctions: Runtime.exec through the decl-typed receiver
+    assert by_name["call-to-exec"] == [
+        ("fixtures/java/Injection.java", "rt.exec(cmd)")]
     findings.unpersist()
 
 
