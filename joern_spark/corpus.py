@@ -226,15 +226,18 @@ F17_INJECTION_JAVA = """class Db {
   int query(String s) { return len(s); }
 }
 class Controller {
+  @Route(path = "/h")
   ModelAndView handle(String input) {
     String q = input;
     Db db = new Db();
     db.query(q);
     return null;
   }
+  @Deprecated
   int safe(int z) { return z; }
 }
 class Exec {
+  @Wired("env")
   Process spawn(Runtime rt, String cmd) { return rt.exec(cmd); }
 }"""
 

@@ -30,7 +30,53 @@ def _modifier_node(t: Token) -> AstNode:
                    pos=t.pos, line=t.line)
 
 
-class JavaParser(CParser):
+class _AnnotationMixin:
+    """``@Marker`` / ``@Single("v")`` / ``@Normal(k = v, ...)`` →
+    ANNOTATION with ANNOTATION_PARAMETER_ASSIGN / ANNOTATION_PARAMETER
+    children (javasrc2cpg AstForTypeDeclsCreator.scala:456-484
+    astForAnnotationExpr; marker → no children, single-member → implicit
+    ``value`` parameter)."""
+
+    def parse_annotations(self) -> "list[AstNode]":
+        out: list[AstNode] = []
+        while self.at("@") and self.peek(1) is not None \
+                and self.peek(1).kind == "ident":
+            at_tok = self.eat()
+            name = self.eat().text
+            anno = AstNode(kind="ANNOTATION", name=name, full_name=name,
+                           pos=at_tok.pos, line=at_tok.line)
+            if self.at("("):
+                self.eat()
+                order = 0
+                while self.peek() is not None and not self.at(")"):
+                    p_start = self.peek()
+                    if self.at_kind("ident") and self.at("=", 1):
+                        pname = self.eat().text
+                        self.eat()
+                    else:
+                        pname = "value"  # SingleMemberAnnotationExpr
+                    val = self.parse_assignment_expr()
+                    order += 1
+                    assign = AstNode(
+                        kind="ANNOTATION_PARAMETER_ASSIGN", name=pname,
+                        code=self.text[p_start.pos:self._prev_end()].strip(),
+                        pos=p_start.pos, line=p_start.line)
+                    assign.add(AstNode(kind="ANNOTATION_PARAMETER",
+                                       name=pname, code=pname,
+                                       pos=p_start.pos, line=p_start.line),
+                               order=1, argument_index=1)
+                    if val is not None:
+                        assign.add(val, order=2, argument_index=2)
+                    anno.add(assign, order=order)
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+            anno.code = self.text[at_tok.pos:self._prev_end()].strip()
+            out.append(anno)
+        return out
+
+
+class JavaParser(_AnnotationMixin, CParser):
     def __init__(self, text: str):
         super().__init__(text)
         self.current_class = ""
@@ -114,7 +160,8 @@ class JavaParser(CParser):
                     full_name=imported, code=f"import {imported}",
                     pos=t.pos, line=t.line,
                 ))
-            elif t.text in _MODIFIERS or t.text in ("class", "interface"):
+            elif t.text in _MODIFIERS or t.text in ("class", "interface") \
+                    or t.text == "@":
                 node = self.parse_class()
                 if node is not None:
                     out.append(node)
@@ -136,8 +183,13 @@ class JavaParser(CParser):
     def parse_class(self) -> AstNode | None:
         start = self.peek()
         mod_toks: list[Token] = []
-        while self.peek() is not None and self.peek().text in _MODIFIERS:
-            mod_toks.append(self.eat())
+        annos: list[AstNode] = []
+        while self.peek() is not None and (
+                self.peek().text in _MODIFIERS or self.at("@")):
+            if self.at("@"):
+                annos.extend(self.parse_annotations())
+            else:
+                mod_toks.append(self.eat())
         if not (self.at("class") or self.at("interface")):
             return None
         self.eat()
@@ -146,6 +198,8 @@ class JavaParser(CParser):
                        pos=start.pos, line=start.line)
         for mt in mod_toks:
             node.add(_modifier_node(mt))
+        for a in annos:
+            node.add(a)
         inherits: list[str] = []
         while self.peek() is not None and not self.at("{"):
             if self.at("extends") or self.at("implements"):
@@ -178,7 +232,12 @@ class JavaParser(CParser):
         start = self.peek()
         is_static = False
         mod_toks: list[Token] = []
-        while self.peek() is not None and self.peek().text in _MODIFIERS:
+        annos: list[AstNode] = []
+        while self.peek() is not None and (
+                self.peek().text in _MODIFIERS or self.at("@")):
+            if self.at("@"):
+                annos.extend(self.parse_annotations())
+                continue
             if self.peek().text == "static":
                 is_static = True
             mod_toks.append(self.eat())
@@ -201,6 +260,8 @@ class JavaParser(CParser):
             self.current_is_static = prev_static
             for mt in mod_toks:
                 m.add(_modifier_node(mt))
+            for a in annos:
+                m.add(a)
             return m
         # field
         while self.peek() is not None and not self.at(";"):
@@ -212,6 +273,8 @@ class JavaParser(CParser):
                          pos=start.pos, line=start.line)
         for mt in mod_toks:
             member.add(_modifier_node(mt))
+        for a in annos:
+            member.add(a)
         return member
 
     def _rewind_modifiers(self, start: Token) -> int:

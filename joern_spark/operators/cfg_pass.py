@@ -32,6 +32,7 @@ _EMPTY_KINDS = {
     "METHOD", "METHOD_PARAMETER_IN", "METHOD_PARAMETER_OUT", "MODIFIER",
     "LOCAL", "TYPE_DECL", "MEMBER", "FILE", "NAMESPACE", "NAMESPACE_BLOCK",
     "JUMP_LABEL", "COMMENT", "IMPORT",
+    "ANNOTATION", "ANNOTATION_PARAMETER_ASSIGN", "ANNOTATION_PARAMETER",
 }
 _SINGLE_KINDS = {"METHOD_REF", "TYPE_REF", "METHOD_RETURN", "MACRO_REF"}
 _LEAFY_KINDS = {"CALL", "FIELD_IDENTIFIER", "IDENTIFIER", "LITERAL", "UNKNOWN"}

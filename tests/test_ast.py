@@ -236,3 +236,25 @@ def test_comment_nodes(g):
     e = g.doc_edges("fixtures/c/scanners", "AST")
     parents = [s for s, d in zip(e["src"], e["dst"]) if d == cid]
     assert parents and g.nodes.loc[parents[0], "kind"] == "FILE"
+
+
+def test_annotation_nodes(g):
+    """ANNOTATION + ANNOTATION_PARAMETER_ASSIGN/_PARAMETER under the
+    annotated METHOD (javasrc2cpg AstForTypeDeclsCreator.scala:456-484;
+    NodeTypeStarters annotation starter)."""
+    n = g.nodes[g.nodes["doc_id"] == "fixtures/java/Injection.java"]
+    annos = n[n["kind"] == "ANNOTATION"]
+    assert set(annos["name"]) == {"Route", "Deprecated", "Wired"}
+    assigns = n[n["kind"] == "ANNOTATION_PARAMETER_ASSIGN"]
+    # marker annotation (@Deprecated) has no assigns; single-member gets the
+    # implicit `value` parameter
+    assert sorted(assigns["name"]) == ["path", "value"]
+    params = n[n["kind"] == "ANNOTATION_PARAMETER"]
+    assert sorted(params["name"]) == ["path", "value"]
+    # AST-linked under the annotated method
+    route_id = annos.index[annos["name"] == "Route"][0]
+    ast = g.edges[(g.edges["kind"] == "AST") & (g.edges["dst"] == route_id)]
+    assert len(ast) == 1
+    parent = ast.iloc[0]["src"]
+    assert g.nodes.loc[parent, "kind"] == "METHOD"
+    assert g.nodes.loc[parent, "name"] == "handle"
