@@ -241,6 +241,110 @@ class Exec {
   Process spawn(Runtime rt, String cmd) { return rt.exec(cmd); }
 }"""
 
+F19_CRYPTO_JAVA = """class CryptoUse {
+  MessageDigest weak() {
+    String algo = "MD5";
+    MessageDigest md = MessageDigest.getInstance(algo);
+    return md;
+  }
+  MessageDigest weak2() {
+    MessageDigest md = MessageDigest.getInstance("SHA-1");
+    return md;
+  }
+  MessageDigest strong() {
+    String algo = "SHA-256";
+    MessageDigest md = MessageDigest.getInstance(algo);
+    return md;
+  }
+  PBEKeySpec lowiter(String pw, String salt) {
+    PBEKeySpec spec = new PBEKeySpec(pw, salt, 500, 2048);
+    return spec;
+  }
+  PBEKeySpec okiter(String pw, String salt) {
+    PBEKeySpec spec = new PBEKeySpec(pw, salt, 4000, 2048);
+    return spec;
+  }
+}"""
+
+F20_METRICS_C = """int mx_params(int a, int b, int c, int d, int e) { return a; }
+int mx_params_ok(int a, int b, int c, int d) { return a; }
+int mx_complex(int x) {
+  while (x > 0) { x = x - 1; }
+  if (x > 1) { x = 2; }
+  if (x > 2) { x = 3; }
+  if (x > 3) { x = 4; }
+  if (x > 4) { x = 5; }
+  return x;
+}
+int mx_loops(int x) {
+  while (x > 0) { x = x - 1; }
+  while (x > 1) { x = x - 1; }
+  do { x = x - 1; } while (x > 2);
+  for (x = 9; x > 3; x = x - 1) { x = x - 1; }
+  for (x = 9; x > 4; x = x - 1) { x = x - 1; }
+  return x;
+}
+int mx_returns(int x) {
+  if (x > 10) { return 0; }
+  return 1;
+}
+int mx_nested(int x) {
+  if (x > 1) {
+    if (x > 2) {
+      if (x > 3) {
+        if (x > 4) { x = 5; }
+      }
+    }
+  }
+  return x;
+}"""
+
+F22_HEAP_C = """int vulnerable(int len, char *hsrc) {
+  char *dst = malloc(len + 8);
+  if (dst) { memcpy(dst, hsrc, len + 7); }
+  return 0;
+}
+int non_vulnerable(int len, char *hsrc) {
+  char *dst = malloc(len + 8);
+  if (dst) { memcpy(dst, hsrc, len + 8); }
+  return 0;
+}
+int non_vulnerable2(int len, char *hsrc) {
+  char *dst = malloc(some_size);
+  if (dst) { memcpy(dst, hsrc, some_size); }
+  return 0;
+}"""
+
+F23_LENCHECK_C = """int read_field(char *buf, int buf_len) {
+  int v = 0;
+  if (buf_len > 4) { v = buf[4]; }
+  return v;
+}
+int bad_field(char *pkt, int pkt_len) {
+  int v = 0;
+  if (pkt_len > 2) { v = pkt[8]; }
+  return v;
+}
+int no_len(char *q) {
+  int v = q[3];
+  return v;
+}
+int zero_ok(char *npkt, int npkt_len) {
+  int v = 0;
+  if (npkt) { v = npkt[0]; }
+  return v;
+}"""
+
+F21_VIEW_JSX = """function formatName(user) { return user; }
+function getGreeting(user) {
+  if (user) {
+    return <h1 className={style} id="top">Hello, {formatName(user)}!</h1>;
+  }
+  return <h1>Hello, Stranger.</h1>;
+}
+const element = <div><h2>Good to see you here.</h2><br/></div>;
+"""
+
 F18_DISPATCH_JIMPLE = """public class JAnimal extends java.lang.Object {
   public int jnoise(int) {
     JAnimal r0;
@@ -373,6 +477,28 @@ def fixture_docs() -> list[dict]:
         # loop, lookupswitch, instance field read, constructor stub
         {"doc_id": "fixtures/jimple/Dispatch.jimple",
          "spans": split_code_spans(F18_DISPATCH_JIMPLE, 4)},
+        # F19: CryptographyMisuse positives/negatives — "MD5"/"SHA-1" literal
+        # to MessageDigest.getInstance (direct and via local), low-iteration
+        # PBEKeySpec constructor
+        {"doc_id": "fixtures/java/Crypto.java",
+         "spans": split_code_spans(F19_CRYPTO_JAVA, 3)},
+        # F20: Metrics.scala positives/negatives — params/complexity/loops/
+        # returns/nesting thresholds straddled one query at a time
+        {"doc_id": "fixtures/c/metrics",
+         "spans": split_code_spans(F20_METRICS_C, 3)},
+        # F21: JSX → TEMPLATE_DOM (jssrc AstForTemplateDomCreator shapes:
+        # element/opening/closing/attribute/text/expression-container)
+        {"doc_id": "fixtures/js/view.jsx",
+         "spans": split_code_spans(F21_VIEW_JSX, 2)},
+        # F22: HeapBasedOverflow positives/negatives (CVE-2014-9626 shape) —
+        # size-mismatch memcpy fires; matched size and non-arithmetic size
+        # must not; malloc results are if-checked so RetvalChecks stays quiet
+        {"doc_id": "fixtures/c/heap", "spans": split_code_spans(F22_HEAP_C, 2)},
+        # F23: MissingLengthCheck positives/negatives — insufficient bound
+        # fires; sufficient bound, no length field, and `if (arr)` zero-bound
+        # on a zero offset must not
+        {"doc_id": "fixtures/c/lencheck",
+         "spans": split_code_spans(F23_LENCHECK_C, 2)},
     ]
     return docs
 

@@ -291,11 +291,13 @@ GROUP BY doc_id, bucket
 
 # operator families shared with the Spark scanners (query/dsl.py constants —
 # interpolated so both sides always test the same vocabulary)
+from .query.dsl import ARITHMETIC_OPS as _ARITH_OPS  # noqa: E402
 from .query.dsl import ARRAY_ACCESS_OPS as _ARRACC_OPS  # noqa: E402
 from .query.dsl import ASSIGNMENT_OPS as _ASSIGN_OPS  # noqa: E402
 
 _ASSIGN_IN = ", ".join(f"'{o}'" for o in _ASSIGN_OPS)
 _ARRACC_IN = ", ".join(f"'{o}'" for o in _ARRACC_OPS)
+_ARITH_IN = ", ".join(f"'{o}'" for o in _ARITH_OPS)
 
 _SCAN_SQL = f"""
 WITH RECURSIVE n AS (SELECT * FROM {_N}), e AS (SELECT * FROM {_E}),
@@ -385,7 +387,8 @@ anc AS (
     UNION
     SELECT a.node_id, e.src FROM anc a JOIN e ON e.kind = 'AST' AND e.dst = a.anc_id
 ),
-cs AS (SELECT node_id, doc_id, code FROM n WHERE kind = 'CONTROL_STRUCTURE'),
+cs AS (SELECT node_id, doc_id, code, method_id, ctrl_type FROM n
+       WHERE kind = 'CONTROL_STRUCTURE'),
 q4 AS (
     SELECT 'deeply-nested-control' AS name, doc_id, code AS finding_code
     FROM (
@@ -685,6 +688,227 @@ q22 AS (
     SELECT 'call-to-exec' AS name, doc_id, code AS finding_code FROM n
     WHERE kind = 'CALL'
       AND regexp_matches(full_name, '^(java\\.lang\\.)?Runtime\\.exec$')
+),
+-- q23-q28: c/Metrics.scala (internal non-synthetic methods; reference
+-- defaults 4/4/1000/1/4/3)
+im AS (
+    SELECT node_id, doc_id, code, line FROM n
+    WHERE kind = 'METHOD' AND is_external = false
+      AND NOT regexp_matches(name, '^(<global>|<module>|:program)$')
+),
+q23 AS (
+    SELECT 'too-many-params' AS name, im.doc_id, im.code AS finding_code
+    FROM im JOIN (SELECT method_id, count(*) AS k FROM n
+                  WHERE kind = 'METHOD_PARAMETER_IN' GROUP BY method_id) p
+         ON p.method_id = im.node_id
+    WHERE p.k > 4
+),
+q24 AS (
+    SELECT 'too-high-complexity' AS name, im.doc_id, im.code AS finding_code
+    FROM im JOIN (SELECT method_id, count(*) AS k FROM cs
+                  GROUP BY method_id) c ON c.method_id = im.node_id
+    WHERE c.k > 4
+),
+q25 AS (
+    SELECT 'too-long' AS name, im.doc_id, im.code AS finding_code
+    FROM im JOIN (SELECT method_id, max(line) AS mx, min(line) AS mn FROM n
+                  WHERE line IS NOT NULL GROUP BY method_id) s
+         ON s.method_id = im.node_id
+    WHERE greatest(s.mx, im.line) - least(s.mn, im.line) + 1 > 1000
+),
+q26 AS (
+    SELECT 'multiple-returns' AS name, im.doc_id, im.code AS finding_code
+    FROM im JOIN (SELECT method_id, count(*) AS k FROM n
+                  WHERE kind = 'RETURN' GROUP BY method_id) r
+         ON r.method_id = im.node_id
+    WHERE r.k > 1
+),
+q27 AS (
+    SELECT 'too-many-loops' AS name, im.doc_id, im.code AS finding_code
+    FROM im JOIN (SELECT method_id, count(*) AS k FROM cs
+                  WHERE ctrl_type IN ('FOR', 'DO', 'WHILE')
+                  GROUP BY method_id) l ON l.method_id = im.node_id
+    WHERE l.k > 4
+),
+q28 AS (
+    SELECT 'too-nested' AS name, im.doc_id, im.code AS finding_code
+    FROM im JOIN (
+        SELECT DISTINCT c1.method_id
+        FROM cs c1
+        JOIN anc a1 ON a1.node_id = c1.node_id
+        JOIN cs c2 ON c2.node_id = a1.anc_id
+        JOIN anc a2 ON a2.node_id = c2.node_id
+        JOIN cs c3 ON c3.node_id = a2.anc_id
+        JOIN anc a3 ON a3.node_id = c3.node_id
+        JOIN cs c4 ON c4.node_id = a3.anc_id
+    ) d ON d.method_id = im.node_id
+),
+-- q29/q30: java/CryptographyMisuse.scala — the finding marks the SOURCE
+-- literal (the reference's sink.reachableBy(source) return value); same
+-- backward-flow recursion as q2/q17 over stepe
+cr_sink1 AS (
+    SELECT p.node_id FROM n p
+    JOIN n m ON m.kind = 'METHOD' AND m.node_id = p.method_id
+         AND regexp_matches(m.full_name,
+                            '^(java\\.security\\.)?MessageDigest\\.getInstance')
+    WHERE p.kind = 'METHOD_PARAMETER_IN'
+),
+flc1 AS (
+    SELECT node_id, 0 AS depth FROM cr_sink1
+    UNION
+    SELECT s.prev, flc1.depth + s.dd
+    FROM flc1 JOIN stepe s ON s.node_id = flc1.node_id
+    WHERE flc1.depth + s.dd <= 4
+),
+q29 AS (
+    SELECT 'unsafe-crypto-hash-algo' AS name, l.doc_id, l.code AS finding_code
+    FROM (SELECT DISTINCT node_id FROM flc1) f
+    JOIN n l ON l.node_id = f.node_id AND l.kind = 'LITERAL'
+         AND regexp_matches(l.code, '^"(MD5|SHA-1)"$')
+),
+cr_sink2 AS (
+    SELECT p.node_id FROM n p
+    JOIN n m ON m.kind = 'METHOD' AND m.node_id = p.method_id
+         AND regexp_matches(m.full_name,
+                            '^(javax\\.crypto\\.spec\\.)?PBEKeySpec\\.<init>')
+    WHERE p.kind = 'METHOD_PARAMETER_IN'
+),
+flc2 AS (
+    SELECT node_id, 0 AS depth FROM cr_sink2
+    UNION
+    SELECT s.prev, flc2.depth + s.dd
+    FROM flc2 JOIN stepe s ON s.node_id = flc2.node_id
+    WHERE flc2.depth + s.dd <= 4
+),
+q30 AS (
+    SELECT 'low-pbe-key-iterations' AS name, l.doc_id, l.code AS finding_code
+    FROM (SELECT DISTINCT node_id FROM flc2) f
+    JOIN n l ON l.node_id = f.node_id AND l.kind = 'LITERAL'
+         AND regexp_matches(l.code, '^[0-9]+$')
+         AND CAST(l.code AS BIGINT) < 1000
+),
+-- q31: malloc-memcpy-int-overflow (c/HeapBasedOverflow.scala:22-41) —
+-- arithmetic malloc size assigned to a buffer flowing into memcpy arg 1
+-- with a textually different length arg 3; flow = same stepe recursion,
+-- backward from the memcpy dst arg to the malloc's assignment target
+hb_mall AS (
+    SELECT c.node_id AS m_id, a.a_code AS m_size_code
+    FROM n c JOIN sargs a ON a.call_id = c.node_id AND a.a_index = 1
+         AND a.a_kind = 'CALL' AND a.a_name IN ({_ARITH_IN})
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, 'malloc$')
+),
+hb_asn AS (
+    SELECT r.arg_id AS m_id, t.arg_id AS t_id, t.a_code AS t_code
+    FROM sargs r
+    JOIN n ac ON ac.node_id = r.call_id AND ac.name IN ({_ASSIGN_IN})
+    JOIN sargs t ON t.call_id = r.call_id AND t.a_index = 1
+    WHERE r.a_index = 2
+),
+hb_mem AS (
+    SELECT c.node_id AS mem_id, a1.arg_id AS a1_id, a1.a_code AS a1_code,
+           a3.a_code AS a3_code
+    FROM n c
+    JOIN sargs a1 ON a1.call_id = c.node_id AND a1.a_index = 1
+    JOIN sargs a3 ON a3.call_id = c.node_id AND a3.a_index = 3
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '(?i)^memcpy$')
+),
+hb_cand AS (
+    SELECT m.mem_id, m.a1_id, t.t_id
+    FROM hb_mem m
+    JOIN hb_asn t ON t.t_code = m.a1_code
+    JOIN hb_mall s ON s.m_id = t.m_id AND s.m_size_code <> m.a3_code
+),
+flh AS (
+    SELECT a1_id AS sink_id, a1_id AS node_id, 0 AS depth FROM hb_cand
+    UNION
+    SELECT flh.sink_id, s.prev, flh.depth + s.dd
+    FROM flh JOIN stepe s ON s.node_id = flh.node_id
+    WHERE flh.depth + s.dd <= 4
+),
+q31 AS (
+    SELECT 'malloc-memcpy-int-overflow' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (SELECT DISTINCT c.mem_id FROM hb_cand c
+          JOIN flh ON flh.sink_id = c.a1_id AND flh.node_id = c.t_id) h
+    JOIN n ON n.node_id = h.mem_id
+),
+-- q32: constant-array-access-no-check (c/MissingLengthCheck.scala:18-86);
+-- same determinizations as the Spark port (exactly-one decimal literal
+-- offsets; prefix compare instead of LIKE so '_' in names stays literal)
+ml_acc AS (
+    SELECT c.node_id AS acc_id, c.method_id AS m_id,
+           a1.a_name AS arr_name, a1.a_code AS arr_code, a2.arg_id AS off_id,
+           regexp_replace(lower(a1.a_name), 's$', '') AS base
+    FROM n c
+    JOIN sargs a1 ON a1.call_id = c.node_id AND a1.a_index = 1
+         AND a1.a_kind = 'IDENTIFIER'
+    JOIN sargs a2 ON a2.call_id = c.node_id AND a2.a_index = 2
+    WHERE c.name IN ({_ARRACC_IN})
+      AND NOT EXISTS (SELECT 1 FROM n l WHERE l.kind = 'LOCAL'
+                      AND l.method_id = c.method_id AND l.name = a1.a_name)
+),
+ml_lit AS (
+    SELECT node_id, code FROM n
+    WHERE kind = 'LITERAL' AND regexp_matches(code, '^[0-9]+$')
+),
+ml_under AS (
+    SELECT node_id AS root, code FROM ml_lit
+    UNION ALL
+    SELECT a.anc_id AS root, l.code FROM ml_lit l
+    JOIN anc a ON a.node_id = l.node_id
+),
+ml_off AS (
+    SELECT root AS off_id, CAST(min(code) AS BIGINT) AS idx
+    FROM ml_under GROUP BY root HAVING count(*) = 1
+),
+ml_cand AS (
+    SELECT acc.*, o.idx FROM ml_acc acc JOIN ml_off o ON o.off_id = acc.off_id
+),
+ml_lens AS (
+    SELECT DISTINCT c.acc_id, d.name AS d_name
+    FROM ml_cand c
+    JOIN n d ON d.method_id = c.m_id
+         AND d.kind IN ('LOCAL', 'METHOD_PARAMETER_IN')
+    WHERE substr(lower(d.name), 1, length(c.base)) = c.base
+      AND regexp_matches(substr(lower(d.name), length(c.base) + 1),
+                         '^s?_?(len|siz)')
+),
+ml_cond AS (
+    SELECT cs.method_id AS m_id, e.dst AS c_id, cn.code AS c_code
+    FROM e JOIN n cs ON cs.node_id = e.src JOIN n cn ON cn.node_id = e.dst
+    WHERE e.kind = 'CONDITION' AND cs.kind = 'CONTROL_STRUCTURE'
+),
+ml_ident_in AS (
+    SELECT i.node_id AS root, i.name FROM n i WHERE i.kind = 'IDENTIFIER'
+    UNION ALL
+    SELECT a.anc_id AS root, i.name FROM n i
+    JOIN anc a ON a.node_id = i.node_id
+    WHERE i.kind = 'IDENTIFIER'
+),
+ml_chk AS (
+    SELECT DISTINCT c.acc_id, cd.c_id
+    FROM ml_cand c
+    JOIN ml_lens lf ON lf.acc_id = c.acc_id
+    JOIN ml_cond cd ON cd.m_id = c.m_id
+    JOIN ml_ident_in ii ON ii.root = cd.c_id AND ii.name = lf.d_name
+),
+ml_bounds AS (
+    SELECT k.acc_id, CAST(u.code AS BIGINT) AS bound
+    FROM ml_chk k JOIN ml_under u ON u.root = k.c_id
+    UNION ALL
+    SELECT c.acc_id, 0 AS bound
+    FROM ml_cand c JOIN ml_cond cd ON cd.m_id = c.m_id
+         AND cd.c_code = c.arr_code
+),
+q32 AS (
+    SELECT 'constant-array-access-no-check' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (
+        SELECT DISTINCT c.acc_id FROM ml_cand c
+        WHERE EXISTS (SELECT 1 FROM ml_lens lf WHERE lf.acc_id = c.acc_id)
+          AND NOT EXISTS (SELECT 1 FROM ml_bounds b
+                          WHERE b.acc_id = c.acc_id AND b.bound >= c.idx)
+    ) h JOIN n ON n.node_id = h.acc_id
 )
 SELECT * FROM q1 UNION ALL SELECT * FROM q2
 UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
@@ -697,6 +921,11 @@ UNION ALL SELECT * FROM q15 UNION ALL SELECT * FROM q16
 UNION ALL SELECT * FROM q17 UNION ALL SELECT * FROM q18
 UNION ALL SELECT * FROM q19 UNION ALL SELECT * FROM q21
 UNION ALL SELECT * FROM q22
+UNION ALL SELECT * FROM q23 UNION ALL SELECT * FROM q24
+UNION ALL SELECT * FROM q25 UNION ALL SELECT * FROM q26
+UNION ALL SELECT * FROM q27 UNION ALL SELECT * FROM q28
+UNION ALL SELECT * FROM q29 UNION ALL SELECT * FROM q30
+UNION ALL SELECT * FROM q31 UNION ALL SELECT * FROM q32
 """
 
 ORACLES = {

@@ -229,7 +229,99 @@ class JsParser(JavaParser):
             self.eat()
             return AstNode(kind="LITERAL", code=t.text, pos=t.pos, line=t.line,
                            type_full_name="string")
+        # `<` can never START an expression in JS except as JSX — comparison
+        # operators only appear infix, so primary position disambiguates
+        if t is not None and t.text == "<" and self.at_kind("ident", 1):
+            return self.parse_jsx_element()
         return super().parse_primary()
+
+    # --- JSX → TEMPLATE_DOM ---------------------------------------------------
+    # AstForTemplateDomCreator.scala:10-97: every JSX construct becomes a
+    # TEMPLATE_DOM node named after its Babel AST class (JSXElement /
+    # JSXOpeningElement / JSXClosingElement / JSXAttribute / JSXText /
+    # JSXExpressionContainer) with code = source slice; embedded expressions
+    # parse as ordinary expression ASTs under their container.
+
+    def _dom(self, name: str, code: str, tok: Token) -> AstNode:
+        return AstNode(kind="TEMPLATE_DOM", name=name, full_name=name,
+                       code=code, pos=tok.pos, line=tok.line)
+
+    def _jsx_expr_container(self) -> AstNode:
+        c_start = self.expect("{")
+        inner = self.parse_expr()
+        self.expect("}")
+        cont = self._dom("JSXExpressionContainer",
+                         self.text[c_start.pos:self._prev_end()].strip(), c_start)
+        if inner is not None:
+            cont.add(inner, order=1, argument_index=1)
+        return cont
+
+    def parse_jsx_element(self) -> AstNode:
+        start = self.expect("<")
+        self.eat()  # tag identifier
+        attrs: list[AstNode] = []
+        while self.peek() is not None and not self.at(">") and not self.at("/"):
+            if not self.at_kind("ident"):
+                self.eat()
+                continue
+            a_name = self.eat()
+            val = None
+            if self.accept("="):
+                vt = self.peek()
+                if vt is not None and vt.kind in ("str", "char"):
+                    self.eat()
+                    val = AstNode(kind="LITERAL", code=vt.text, pos=vt.pos,
+                                  line=vt.line, type_full_name="string")
+                elif vt is not None and vt.text == "{":
+                    val = self._jsx_expr_container()
+            attr = self._dom("JSXAttribute",
+                             self.text[a_name.pos:self._prev_end()].strip(),
+                             a_name)
+            if val is not None:
+                attr.add(val, order=1, argument_index=1)
+            attrs.append(attr)
+        self_closing = self.accept("/")
+        self.expect(">")
+        opening = self._dom("JSXOpeningElement",
+                            self.text[start.pos:self._prev_end()].strip(), start)
+        for i, a in enumerate(attrs, 1):
+            opening.add(a, order=i, argument_index=i)
+        elem = self._dom("JSXElement", "", start)
+        kids: list[AstNode] = [opening]
+        if not self_closing:
+            while self.peek() is not None:
+                t = self.peek()
+                if t.text == "<" and self.peek(1) is not None \
+                        and self.peek(1).text == "/":
+                    break
+                if t.text == "<":
+                    kids.append(self.parse_jsx_element())
+                elif t.text == "{":
+                    kids.append(self._jsx_expr_container())
+                else:
+                    # raw text run: consume tokens up to the next tag/brace,
+                    # recover the exact text from the source slice
+                    while self.peek() is not None \
+                            and self.peek().text not in ("<", "{"):
+                        self.eat()
+                    end = self.peek().pos if self.peek() is not None \
+                        else len(self.text)
+                    code = self.text[t.pos:end].strip()
+                    if code:
+                        kids.append(self._dom("JSXText", code, t))
+            c_start = self.expect("<")
+            if c_start is not None:  # tolerate a truncated span like the
+                self.expect("/")     # base parser's lenient expect()
+                if self.at_kind("ident"):
+                    self.eat()
+                self.expect(">")
+                kids.append(self._dom(
+                    "JSXClosingElement",
+                    self.text[c_start.pos:self._prev_end()].strip(), c_start))
+        elem.code = self.text[start.pos:self._prev_end()].strip()
+        for i, k in enumerate(kids, 1):
+            elem.add(k, order=i, argument_index=i)
+        return elem
 
 
 def parse_js(text: str) -> list[AstNode]:

@@ -108,6 +108,11 @@ class Cpg:
         """IMPORT starter (NodeTypeStarters.imports)."""
         return self._scan("IMPORT", name)
 
+    def template_dom(self, name: str | None = None) -> "CpgQuery":
+        """TEMPLATE_DOM starter (NodeTypeStarters.templateDom) — JSX/template
+        constructs named after their Babel class (JSXElement etc.)."""
+        return self._scan("TEMPLATE_DOM", name)
+
     def macro_decl(self, name: str | None = None) -> "CpgQuery":
         """MACRO_DECL starter (fork NodeTypeStarters.macroDecl, :180-185)."""
         return self._scan("MACRO_DECL", name)

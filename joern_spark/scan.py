@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .dataflow import reachable_by
 from .query import Cpg
-from .query.dsl import ARRAY_ACCESS_OPS, ASSIGNMENT_OPS
+from .query.dsl import ARITHMETIC_OPS, ARRAY_ACCESS_OPS, ASSIGNMENT_OPS
 
 # bound for the per-start ancestor walks below; tree relations (AST,
 # DOMINATE, POST_DOMINATE) have depth ~ statement count per method, and the
@@ -125,12 +125,140 @@ def _uncalled_internal_method(cpg: Cpg) -> DataFrame:
 
 
 def _deep_nesting(cpg: Cpg, depth: int = 3) -> DataFrame:
-    """complexity family: control structures nested >= depth deep."""
-    cs = cpg.all().is_control_structure()
-    cur = cs
-    for _ in range(depth - 1):
-        cur = cur.ast_minus_root().is_control_structure()
-    return cur.ids()
+    """complexity family: control structures nested >= depth deep.
+
+    Needs per-start pairing, not the DSL's frontier closure: starting the
+    AST closure from ALL control structures at once puts every nested
+    structure in the merged visited set, so it never surfaces as a
+    descendant (the `_ancestor_pairs` docstring trap). A structure is
+    nested >= depth deep iff it has >= depth-1 control-structure proper
+    AST ancestors (ancestors on a tree path are all distinct)."""
+    cs_ids = cpg.all().is_control_structure().ids()
+    pairs = _ancestor_pairs(cpg.edges, "AST", cs_ids)
+    cs_anc = pairs.join(cs_ids.withColumnRenamed("node_id", "anc_id"), "anc_id")
+    return (
+        cs_anc.groupBy("start_id").agg(F.countDistinct("anc_id").alias("k"))
+        .filter(F.col("k") >= depth - 1)
+        .select(F.col("start_id").alias("node_id"))
+    )
+
+
+# synthetic file-level wrapper methods the metrics queries must skip — the
+# reference's `.nameNot("<global>")` (Metrics.scala:21) generalized to the
+# jssrc `:program` and pysrc `<module>` conventions the mini-frontends emit
+SYNTHETIC_METHOD_RE = "^(<global>|<module>|:program)$"
+
+
+def _internal_named_methods(cpg: Cpg) -> DataFrame:
+    """Internal, non-synthetic METHOD rows (Metrics.scala `method.internal
+    ... .nameNot("<global>")` base traversal)."""
+    return cpg.nodes.filter(
+        (F.col("kind") == "METHOD") & (F.col("is_external") == False)  # noqa: E712
+        & ~F.col("name").rlike(SYNTHETIC_METHOD_RE))
+
+
+def _method_kind_count_over(cpg: Cpg, n: int, kind_filter) -> DataFrame:
+    """Methods whose per-method count of ``kind_filter`` rows exceeds n."""
+    counts = (
+        cpg.nodes.filter(kind_filter)
+        .groupBy("method_id").agg(F.count("*").alias("k"))
+        .filter(F.col("k") > n)
+        .select(F.col("method_id").alias("node_id"))
+    )
+    return _internal_named_methods(cpg).select("node_id").join(counts, "node_id")
+
+
+def _too_many_params(cpg: Cpg, n: int = 4) -> DataFrame:
+    """Metrics.scala:12-38 tooManyParameters: > n formal parameters."""
+    return _method_kind_count_over(
+        cpg, n, F.col("kind") == "METHOD_PARAMETER_IN")
+
+
+def _too_high_complexity(cpg: Cpg, n: int = 4) -> DataFrame:
+    """Metrics.scala:41-77 tooHighComplexity: > n control structures."""
+    return _method_kind_count_over(
+        cpg, n, F.col("kind") == "CONTROL_STRUCTURE")
+
+
+def _multiple_returns(cpg: Cpg) -> DataFrame:
+    """Metrics.scala:116-151 multipleReturns: > 1 return statement."""
+    return _method_kind_count_over(cpg, 1, F.col("kind") == "RETURN")
+
+
+def _too_many_loops(cpg: Cpg, n: int = 4) -> DataFrame:
+    """Metrics.scala:154-196 tooManyLoops: > n FOR/DO/WHILE structures."""
+    return _method_kind_count_over(
+        cpg, n, (F.col("kind") == "CONTROL_STRUCTURE")
+        & F.col("ctrl_type").isin("FOR", "DO", "WHILE"))
+
+
+def _too_long(cpg: Cpg, n: int = 1000) -> DataFrame:
+    """Metrics.scala:80-113 tooLong: more than n lines.
+
+    The reference reads `method.numberOfLines` off the frontend's
+    lineNumber/lineNumberEnd pair; the mini-frontends carry per-node `line`
+    only, so the span is re-derived as max-min line over the method's own
+    rows — identical for well-formed bodies (every method ends in a
+    statement-bearing line)."""
+    spans = (
+        cpg.nodes.filter(F.col("line").isNotNull())
+        .groupBy("method_id").agg(F.max("line").alias("mx"),
+                                  F.min("line").alias("mn"))
+    )
+    m = _internal_named_methods(cpg).select("node_id", "line")
+    return (
+        m.join(spans, m["node_id"] == spans["method_id"])
+        .filter(F.greatest(F.col("mx"), F.col("line"))
+                - F.least(F.col("mn"), F.col("line")) + 1 > n)
+        .select("node_id")
+    )
+
+
+def _too_nested(cpg: Cpg, n: int = 3) -> DataFrame:
+    """Metrics.scala:199-238 tooNested: control-structure nesting depth > n
+    (i.e. a chain of n+1 nested control structures exists); reports the
+    METHOD like the reference, not the innermost structure."""
+    deep = _deep_nesting(cpg, depth=n + 1)
+    owners = cpg.nodes.select("node_id", "method_id").join(deep, "node_id") \
+        .select(F.col("method_id").alias("node_id")).distinct()
+    return _internal_named_methods(cpg).select("node_id").join(owners, "node_id")
+
+
+def _unsafe_hash_algo(cpg: Cpg) -> DataFrame:
+    """java/CryptographyMisuse.scala:18-57 unsafeHashAlgo: an "MD5"/"SHA-1"
+    literal reaches a MessageDigest.getInstance parameter. Like the
+    reference's `sink.reachableBy(source)`, the finding marks the SOURCE
+    literal (the java-mini frontend emits `MessageDigest.getInstance` full
+    names; the package-qualified prefix is accepted for jimple's exact
+    signatures)."""
+    sources = cpg.nodes.filter(
+        (F.col("kind") == "LITERAL")
+        & F.col("code").rlike('^"(MD5|SHA-1)"$')).select("node_id")
+    digest = cpg.nodes.filter(
+        (F.col("kind") == "METHOD")
+        & F.col("full_name").rlike(
+            r"^(java\.security\.)?MessageDigest\.getInstance")
+    ).select(F.col("node_id").alias("method_id"))
+    sinks = cpg.parameter().to_df().join(digest, "method_id").select("node_id")
+    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    return hits.select(F.col("source_id").alias("node_id")).distinct()
+
+
+def _low_iteration_pbe_key(cpg: Cpg, n: int = 1000) -> DataFrame:
+    """java/CryptographyMisuse.scala:60-97 lowIterationPbeKey: an integer
+    literal < n reaches a PBEKeySpec constructor parameter; marks the
+    source literal (the reference's post-reachableBy code filter)."""
+    sources = cpg.nodes.filter(
+        (F.col("kind") == "LITERAL") & F.col("code").rlike("^[0-9]+$")
+        & (F.col("code").cast("long") < n)).select("node_id")
+    pbe = cpg.nodes.filter(
+        (F.col("kind") == "METHOD")
+        & F.col("full_name").rlike(
+            r"^(javax\.crypto\.spec\.)?PBEKeySpec\.<init>")
+    ).select(F.col("node_id").alias("method_id"))
+    sinks = cpg.parameter().to_df().join(pbe, "method_id").select("node_id")
+    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    return hits.select(F.col("source_id").alias("node_id")).distinct()
 
 
 def _call_to(name_regex: str) -> Callable[[Cpg], DataFrame]:
@@ -483,6 +611,155 @@ def _free_follows_value_reuse(cpg: Cpg) -> DataFrame:
         .select(F.col("use_id").alias("node_id")).distinct()
 
 
+def _malloc_memcpy_int_overflow(cpg: Cpg) -> DataFrame:
+    """c/HeapBasedOverflow.scala:22-41 mallocMemcpyIntOverflow (the 31C3 /
+    CVE-2014-9626 query): a malloc whose size is an arithmetic expression is
+    assigned to a buffer that flows into memcpy's first argument, and the
+    memcpy length expression differs textually from the malloc size.
+    Finding marks the memcpy call (the reference filters memcpy callIn)."""
+    args = _args(cpg)
+    mall = (
+        cpg.call("malloc$").to_df().select(F.col("node_id").alias("m_id"))
+        .join(args.filter((F.col("argument_index") == 1)
+                          & (F.col("a_kind") == "CALL")
+                          & F.col("a_name").isin(ARITHMETIC_OPS))
+              .select(F.col("call_id").alias("m_id"),
+                      F.col("a_code").alias("m_size_code")), "m_id")
+    )
+    asn = cpg.nodes.filter(F.col("name").isin(ASSIGNMENT_OPS)).select(
+        F.col("node_id").alias("call_id"))
+    tgt = args.filter(F.col("argument_index") == 1).join(asn, "call_id") \
+        .select(F.col("call_id").alias("asn_id"), F.col("arg_id").alias("t_id"),
+                F.col("a_code").alias("t_code"))
+    rhs = args.filter(F.col("argument_index") == 2).join(asn, "call_id") \
+        .select(F.col("call_id").alias("asn_id"), F.col("arg_id").alias("m_id"))
+    m_asn = mall.join(rhs, "m_id").join(tgt, "asn_id")
+    mem = (
+        args.filter(F.col("argument_index") == 1)
+        .join(cpg.call("(?i)^memcpy$").ids()
+              .withColumnRenamed("node_id", "call_id"), "call_id")
+        .select(F.col("call_id").alias("mem_id"), F.col("arg_id").alias("a1_id"),
+                F.col("a_code").alias("a1_code"))
+        .join(args.filter(F.col("argument_index") == 3)
+              .select(F.col("call_id").alias("mem_id"),
+                      F.col("a_code").alias("a3_code")), "mem_id")
+    )
+    cand = mem.join(m_asn, (F.col("t_code") == F.col("a1_code"))
+                    & (F.col("m_size_code") != F.col("a3_code"))) \
+        .select("mem_id", "a1_id", "t_id").localCheckpoint(eager=True)
+    # `inAssignment.target` is enforced structurally above; reachableBy src
+    # becomes: the memcpy dst argument is reached backward from that target
+    flows = reachable_by(
+        cpg.nodes, cpg.edges,
+        sinks=cand.select(F.col("a1_id").alias("node_id")).distinct(),
+        sources=cand.select(F.col("t_id").alias("node_id")).distinct())
+    hit = cand.join(flows, (flows["sink_id"] == cand["a1_id"])
+                    & (flows["source_id"] == cand["t_id"]))
+    return hit.select(F.col("mem_id").alias("node_id")).distinct()
+
+
+def _constant_array_access_no_check(cpg: Cpg) -> DataFrame:
+    """c/MissingLengthCheck.scala:18-86 constantArrayAccessNoCheck: a
+    constant-offset access into a non-local array (parameter/global) whose
+    heuristic length fields (<arr>(s?)(_?)(len|siz)*, name-matched on
+    parameters/locals) are never compared against a bound >= the offset.
+
+    Two documented determinizations vs the reference: the offset must contain
+    EXACTLY one integer literal (the reference takes the first in AST order —
+    identical for every single-literal offset), and toInt accepts decimal
+    digits only (Integer.decode also takes hex — none in scope)."""
+    args = _args(cpg)
+    nodes = cpg.nodes
+    base_of = lambda c: F.regexp_replace(F.lower(c), "s$", "")  # noqa: E731
+
+    acc = (
+        nodes.filter(F.col("name").isin(ARRAY_ACCESS_OPS))
+        .select(F.col("node_id").alias("acc_id"),
+                F.col("method_id").alias("m_id"))
+        .join(args.filter((F.col("argument_index") == 1)
+                          & (F.col("a_kind") == "IDENTIFIER"))
+              .select(F.col("call_id").alias("acc_id"),
+                      F.col("a_name").alias("arr_name"),
+                      F.col("a_code").alias("arr_code")), "acc_id")
+        .join(args.filter(F.col("argument_index") == 2)
+              .select(F.col("call_id").alias("acc_id"),
+                      F.col("arg_id").alias("off_id")), "acc_id")
+        .join(nodes.filter(F.col("kind") == "LOCAL")
+              .select(F.col("method_id").alias("m_id"),
+                      F.col("name").alias("arr_name")),
+              ["m_id", "arr_name"], "left_anti")
+    )
+
+    lits = nodes.filter((F.col("kind") == "LITERAL")
+                        & F.col("code").rlike("^[0-9]+$")) \
+        .select("node_id", F.col("code").alias("lit_code"))
+    lit_up = _ancestor_pairs(cpg.edges, "AST", lits.select("node_id"))
+    lit_under = (
+        lits.join(lit_up, lit_up["start_id"] == lits["node_id"])
+        .select(F.col("anc_id").alias("root"), "lit_code")
+        .unionByName(lits.select(F.col("node_id").alias("root"), "lit_code"))
+    )
+    one_lit = lit_under.groupBy("root").agg(
+        F.count("*").alias("k"), F.min("lit_code").alias("lit_code")) \
+        .filter(F.col("k") == 1) \
+        .select(F.col("root").alias("off_id"),
+                F.col("lit_code").cast("long").alias("idx"))
+    cand = acc.join(one_lit, "off_id").withColumn("base", base_of(F.col("arr_name")))
+
+    decls = nodes.filter(F.col("kind").isin("LOCAL", "METHOD_PARAMETER_IN")) \
+        .select(F.col("method_id").alias("m_id"), F.col("name").alias("d_name"))
+    lens = (
+        cand.select("acc_id", "m_id", "base").join(decls, "m_id")
+        .filter(F.expr("substring(lower(d_name), 1, length(base)) = base")
+                & F.expr("substring(lower(d_name), length(base)+1, 1000000)")
+                .rlike("^s?_?(len|siz)"))
+        .select("acc_id", "d_name").distinct()
+    )
+
+    conds = (
+        cpg.edges.filter(F.col("kind") == "CONDITION")
+        .select(F.col("src").alias("cs_id"), F.col("dst").alias("c_id"))
+        .join(nodes.filter(F.col("kind") == "CONTROL_STRUCTURE")
+              .select(F.col("node_id").alias("cs_id"),
+                      F.col("method_id").alias("m_id")), "cs_id")
+        .join(nodes.select(F.col("node_id").alias("c_id"),
+                           F.col("code").alias("c_code")), "c_id")
+        .select("m_id", "c_id", "c_code")
+    )
+    idents = nodes.filter(F.col("kind") == "IDENTIFIER").select(
+        "node_id", F.col("name").alias("i_name"))
+    id_up = _ancestor_pairs(cpg.edges, "AST", idents.select("node_id"))
+    id_under = (
+        idents.join(id_up, id_up["start_id"] == idents["node_id"])
+        .select(F.col("anc_id").alias("c_id"), "i_name")
+        .unionByName(idents.select(F.col("node_id").alias("c_id"), "i_name"))
+    )
+    chk = (
+        lens.join(cand.select("acc_id", "m_id"), "acc_id")
+        .join(conds.select("m_id", "c_id"), "m_id")
+        .join(id_under, "c_id")
+        .filter(F.col("i_name") == F.col("d_name"))
+        .select("acc_id", "c_id").distinct()
+    )
+    bounds = (
+        chk.join(lit_under.withColumnRenamed("root", "c_id"), "c_id")
+        .select("acc_id", F.col("lit_code").cast("long").alias("bound"))
+        .unionByName(
+            cand.select("acc_id", "m_id", "arr_code")
+            .join(conds, "m_id")
+            .filter(F.col("c_code") == F.col("arr_code"))
+            .select("acc_id", F.lit(0).cast("long").alias("bound")))
+    )
+    fired = (
+        cand.join(lens.select("acc_id").distinct(), "acc_id")
+        .join(bounds.join(cand.select("acc_id", "idx"), "acc_id")
+              .filter(F.col("bound") >= F.col("idx"))
+              .select("acc_id").distinct(),
+              "acc_id", "left_anti")
+    )
+    return fired.select(F.col("acc_id").alias("node_id")).distinct()
+
+
 DEFAULT_BUNDLE = [
     Query("malloc-without-free", "Allocation without matching free in method", 5.0,
           _malloc_to_free_missing),
@@ -544,6 +821,30 @@ DEFAULT_BUNDLE = [
     # querydb/java/DangerousFunctions.scala
     Query("call-to-exec", "Dangerous function Runtime.exec used", 8.0,
           _call_to_exec),
+    # querydb/c/Metrics.scala (reference defaults: 4 params, 4 control
+    # structures, 1000 lines, 1 return, 4 loops, nesting 3; score 1.0 each)
+    Query("too-many-params", "Number of parameters larger than 4", 1.0,
+          _too_many_params),
+    Query("too-high-complexity", "Cyclomatic complexity higher than 4", 1.0,
+          _too_high_complexity),
+    Query("too-long", "More than 1000 lines", 1.0, _too_long),
+    Query("multiple-returns", "Multiple returns", 1.0, _multiple_returns),
+    Query("too-many-loops", "More than 4 loops", 1.0, _too_many_loops),
+    Query("too-nested", "Nesting level higher than 3", 1.0, _too_nested),
+    # querydb/c/MissingLengthCheck.scala (score 3)
+    Query("constant-array-access-no-check",
+          "Array access at fixed offset but sufficient length check not "
+          "determined", 3.0, _constant_array_access_no_check),
+    # querydb/c/HeapBasedOverflow.scala (score 4)
+    Query("malloc-memcpy-int-overflow",
+          "Dangerous copy-operation into heap-allocated buffer", 4.0,
+          _malloc_memcpy_int_overflow),
+    # querydb/java/CryptographyMisuse.scala (score 6 each)
+    Query("unsafe-crypto-hash-algo", "Unsafe cryptographic hash algorithm used",
+          6.0, _unsafe_hash_algo),
+    Query("low-pbe-key-iterations",
+          "Low number of iterations detected for password-based encryption",
+          6.0, _low_iteration_pbe_key),
 ]
 
 

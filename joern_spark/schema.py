@@ -17,7 +17,8 @@ NODE_KINDS = [
     "METHOD_RETURN", "METHOD_REF", "BLOCK", "CALL", "IDENTIFIER",
     "FIELD_IDENTIFIER", "LITERAL", "LOCAL", "RETURN", "CONTROL_STRUCTURE",
     "JUMP_TARGET", "JUMP_LABEL", "MODIFIER", "COMMENT", "UNKNOWN", "TYPE_REF",
-    "IMPORT",
+    "IMPORT", "ANNOTATION", "ANNOTATION_PARAMETER_ASSIGN",
+    "ANNOTATION_PARAMETER", "TEMPLATE_DOM",
     # fork-specific kinds (NodeTypeStarters.scala:180-190)
     "MACRO_DECL", "MACRO_REF",
     # DependenciesPass output (jssrc2cpg DependenciesPass.scala:14-35)

@@ -104,3 +104,8 @@ F12 = "fixtures/c/macro"
 F13 = "fixtures/js/app.js"
 F15 = "fixtures/py/app.py"
 F18 = "fixtures/jimple/Dispatch.jimple"
+F19 = "fixtures/java/Crypto.java"
+F20 = "fixtures/c/metrics"
+F21 = "fixtures/js/view.jsx"
+F22 = "fixtures/c/heap"
+F23 = "fixtures/c/lencheck"

@@ -128,6 +128,70 @@ def test_querydb_ports(cpg):
     findings.unpersist()
 
 
+def test_metrics_and_crypto_ports(cpg):
+    """c/Metrics.scala and java/CryptographyMisuse.scala ports against the
+    F19/F20 fixtures: exact expectations, positives AND negatives."""
+    findings = run_scan(cpg.nodes, cpg.edges).persist()
+    by_name = {}
+    for r in findings.collect():
+        by_name.setdefault(r["name"], []).append((r["doc_id"], r["code"]))
+
+    mc, cj = "fixtures/c/metrics", "fixtures/java/Crypto.java"
+    # 5 params fires; the 4-param twin must not (reference default n=4)
+    assert by_name["too-many-params"] == [
+        (mc, "int mx_params(int a, int b, int c, int d, int e)")]
+    # 5 control structures fire (mx_complex, mx_loops, zoo); 2 don't
+    assert sorted(by_name["too-high-complexity"]) == [
+        (mc, "int mx_complex(int x)"), (mc, "int mx_loops(int x)"),
+        ("fixtures/c/zoo", "int zoo(int x)")]
+    # >1000 lines: unreachable in fixtures by design (reference default)
+    assert "too-long" not in by_name
+    assert sorted(by_name["multiple-returns"]) == [
+        (mc, "int mx_returns(int x)"),
+        ("fixtures/c/scanners", "int rv_direct(int fd)"),
+        ("fixtures/jimple/Dispatch.jimple", "public static int jtally(int)"),
+        ("fixtures/js/view.jsx", "function getGreeting(user)"),
+        ("fixtures/py/app.py", "def draw")]
+    # 5 loops fire; mx_complex's 1 loop + 4 ifs must not
+    assert by_name["too-many-loops"] == [(mc, "int mx_loops(int x)")]
+    # 4-deep if chain fires; the py fixture's loop/if/elif tower also
+    assert sorted(by_name["too-nested"]) == [
+        (mc, "int mx_nested(int x)"), ("fixtures/py/app.py", "def draw")]
+    # finding marks the SOURCE literal (reference sink.reachableBy(source));
+    # "MD5" via a local, "SHA-1" as a direct argument; "SHA-256" must not
+    assert sorted(by_name["unsafe-crypto-hash-algo"]) == [
+        (cj, '"MD5"'), (cj, '"SHA-1"')]
+    # 500 < 1000 fires; 4000 and the 2048 key length must not
+    assert by_name["low-pbe-key-iterations"] == [(cj, "500")]
+    # HeapBasedOverflow (F22): len+8 vs len+7 fires; len+8 vs len+8 and the
+    # non-arithmetic some_size must not
+    assert by_name["malloc-memcpy-int-overflow"] == [
+        ("fixtures/c/heap", "memcpy(dst, hsrc, len + 7)")]
+    # MissingLengthCheck (F23): pkt[8] guarded only by pkt_len > 2 fires;
+    # buf[4] under buf_len > 4, q[3] with no length field, and npkt[0]
+    # under `if (npkt)` (implicit zero bound) must not
+    assert by_name["constant-array-access-no-check"] == [
+        ("fixtures/c/lencheck", "pkt[8]")]
+    findings.unpersist()
+
+
+def test_too_long_logic(cpg):
+    """too-long with an explicit small threshold (the reference-default 1000
+    is untestable on fixture-sized methods): line-span derivation fires on
+    the multi-line methods and spares one-liners."""
+    from joern_spark.query import Cpg
+    from joern_spark.scan import _too_long
+
+    q = Cpg(nodes=cpg.nodes, edges=cpg.edges)
+    hits = _too_long(q, n=5).join(
+        cpg.nodes.select("node_id", "doc_id", "code"), "node_id")
+    codes = {r["code"] for r in hits.filter(
+        F.col("doc_id") == "fixtures/c/metrics").collect()}
+    assert "int mx_loops(int x)" in codes          # 8-line body
+    assert "int mx_nested(int x)" in codes         # 10-line body
+    assert "int mx_params(int a, int b, int c, int d, int e)" not in codes
+
+
 # ---- GraphSON + slicing sinks ----------------------------------------------
 
 def test_graphson_export(cpg):

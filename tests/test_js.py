@@ -141,3 +141,45 @@ def test_config_file_pass(cpg):
     assert q.config_file("package").to_df().count() == 1
     assert q.dependency().to_df().count() >= 1
     assert q.imports("my_utils").to_df().count() == 1
+
+
+def test_template_dom(cpg, g):
+    """F21 JSX → TEMPLATE_DOM shapes (AstForTemplateDomCreator.scala:10-97;
+    expectations from TemplateDomAstCreationPassTests.scala:11-36:
+    parentTemplateDom(formatName call) is the JSXExpressionContainer, whose
+    parent dom is the enclosing JSXElement)."""
+    doc = "fixtures/js/view.jsx"
+    nd = g.doc_nodes(doc)
+    doms = nd[nd["kind"] == "TEMPLATE_DOM"]
+    assert set(doms["name"]) == {
+        "JSXElement", "JSXOpeningElement", "JSXClosingElement",
+        "JSXAttribute", "JSXText", "JSXExpressionContainer"}
+
+    ast = g.doc_edges(doc, "AST")
+    parent = {d: s for s, d in zip(ast["src"], ast["dst"])}
+
+    def parent_dom(nid):
+        p = parent.get(nid)
+        while p is not None and g.nodes.loc[p, "kind"] != "TEMPLATE_DOM":
+            p = parent.get(p)
+        return p
+
+    call = nd[(nd["kind"] == "CALL") & (nd["code"] == "formatName(user)")]
+    assert len(call) == 1
+    dom1 = parent_dom(call.index[0])
+    assert g.nodes.loc[dom1, "name"] == "JSXExpressionContainer"
+    assert g.nodes.loc[dom1, "code"] == "{formatName(user)}"
+    dom2 = parent_dom(dom1)
+    assert g.nodes.loc[dom2, "name"] == "JSXElement"
+    assert g.nodes.loc[dom2, "code"] == \
+        '<h1 className={style} id="top">Hello, {formatName(user)}!</h1>'
+
+    # attribute value wiring: className={style} holds an expression
+    # container; id="top" holds the string literal
+    attrs = {r["code"] for _, r in doms.iterrows() if r["name"] == "JSXAttribute"}
+    assert attrs == {"className={style}", 'id="top"'}
+
+    # the DSL starter surfaces them
+    from joern_spark.query import Cpg
+    q = Cpg(nodes=cpg.nodes, edges=cpg.edges)
+    assert q.template_dom("JSXElement").to_df().count() >= 3

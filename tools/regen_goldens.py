@@ -24,6 +24,8 @@ FIXTURES = [
     "fixtures/js/app.js", "fixtures/py/app.py",
     "fixtures/c/scanners", "fixtures/java/Injection.java",
     "fixtures/jimple/Dispatch.jimple",
+    "fixtures/java/Crypto.java", "fixtures/c/metrics", "fixtures/js/view.jsx",
+    "fixtures/c/heap", "fixtures/c/lencheck",
 ]
 
 
