@@ -690,8 +690,13 @@ def _constant_array_access_no_check(cpg: Cpg) -> DataFrame:
               ["m_id", "arr_name"], "left_anti")
     )
 
+    # scope both ancestor walks to methods that actually contain a candidate
+    # access: the walks are |starts| x tree-depth pairs, and at corpus scale
+    # almost no method has a non-local constant-offset array access
+    acc_methods = acc.select("m_id").distinct()
     lits = nodes.filter((F.col("kind") == "LITERAL")
                         & F.col("code").rlike("^[0-9]+$")) \
+        .join(acc_methods, nodes["method_id"] == acc_methods["m_id"]) \
         .select("node_id", F.col("code").alias("lit_code"))
     lit_up = _ancestor_pairs(cpg.edges, "AST", lits.select("node_id"))
     lit_under = (
@@ -726,8 +731,9 @@ def _constant_array_access_no_check(cpg: Cpg) -> DataFrame:
                            F.col("code").alias("c_code")), "c_id")
         .select("m_id", "c_id", "c_code")
     )
-    idents = nodes.filter(F.col("kind") == "IDENTIFIER").select(
-        "node_id", F.col("name").alias("i_name"))
+    idents = nodes.filter(F.col("kind") == "IDENTIFIER") \
+        .join(acc_methods, nodes["method_id"] == acc_methods["m_id"]) \
+        .select("node_id", F.col("name").alias("i_name"))
     id_up = _ancestor_pairs(cpg.edges, "AST", idents.select("node_id"))
     id_under = (
         idents.join(id_up, id_up["start_id"] == idents["node_id"])
