@@ -315,6 +315,85 @@ int non_vulnerable2(int len, char *hsrc) {
   return 0;
 }"""
 
+F29_NULLTERM_C = """int nt_bad(int asize, char *ntsrc) {
+  char *ptr = malloc(asize);
+  if (ptr) { strncpy(ptr, ntsrc, asize); }
+  return 0;
+}
+int nt_good(int asize, char *ntsrc) {
+  char *ptr = malloc(asize + 1);
+  if (ptr) { strncpy(ptr, ntsrc, asize); }
+  return 0;
+}
+int nt_alsogood(int asize, char *ntsrc) {
+  char *ptr = malloc(asize);
+  if (ptr) {
+    strncpy(ptr, ntsrc, asize);
+    ptr[asize - 1] = 0;
+  }
+  return 0;
+}"""
+
+F27_SERVLET_JAVA = """class MyServlet {
+  void doGet(HttpServletRequest req, HttpServletResponse resp) {
+    String p = req.getParameter("q");
+    PrintWriter w = resp.getWriter();
+    w.println(p);
+  }
+  void doConst(HttpServletResponse resp) {
+    PrintWriter w = resp.getWriter();
+    w.println("hello");
+  }
+  void doLog(HttpServletRequest req, Logger log) {
+    String p = req.getParameter("q");
+    log.println(p);
+  }
+}"""
+
+F28_TRUST_JAVA = """class NaiveTrust {
+  boolean verify(String host, SSLSession session) {
+    return true;
+  }
+  void checkServerTrusted(X509Certificate chain, String authType) {
+    return;
+  }
+  boolean verifyStrict(String host, SSLSession session) {
+    if (host == null) { return false; }
+    return true;
+  }
+}"""
+
+F24_NET_JAVA = """class NetClient {
+  URL insecure() {
+    URL u = new URL("http://phrack.org");
+    return u;
+  }
+  URL secure() {
+    URL u = new URL("https://phrack.org");
+    return u;
+  }
+}"""
+
+F25_GRADLE_BAD = """plugins {
+    id 'com.android.application'
+}
+android {
+    compileSdk 32
+    defaultConfig {
+        targetSdk 17
+    }
+}"""
+
+F26_GRADLE_OK = """plugins {
+    id 'com.android.application'
+}
+android {
+    compileSdk 32
+    defaultConfig {
+        targetSdk 33
+    }
+}"""
+
 F23_LENCHECK_C = """int read_field(char *buf, int buf_len) {
   int v = 0;
   if (buf_len > 4) { v = buf[4]; }
@@ -499,6 +578,29 @@ def fixture_docs() -> list[dict]:
         # on a zero offset must not
         {"doc_id": "fixtures/c/lencheck",
          "spans": split_code_spans(F23_LENCHECK_C, 2)},
+        # F24: NetworkProtocols positives/negatives — http URL constructor
+        # fires, https must not
+        {"doc_id": "fixtures/java/Net.java",
+         "spans": split_code_spans(F24_NET_JAVA, 2)},
+        # F25/F26: fragment-injection — build.gradle configs straddling the
+        # targetSdk 19 threshold (config docs: CONFIG_FILE node, no parse)
+        {"doc_id": "fixtures/android/app/build.gradle",
+         "spans": split_code_spans(F25_GRADLE_BAD, 1)},
+        {"doc_id": "fixtures/android/lib/build.gradle",
+         "spans": split_code_spans(F26_GRADLE_OK, 1)},
+        # F27: xss-servlet — getParameter→println(writer) flow fires; a
+        # constant println and a non-writer receiver must not
+        {"doc_id": "fixtures/java/Servlet.java",
+         "spans": split_code_spans(F27_SERVLET_JAVA, 2)},
+        # F28: ineffective-certificate-check — trivially-true verify and
+        # empty checkServerTrusted fire; the branching verifier must not
+        {"doc_id": "fixtures/java/Trust.java",
+         "spans": split_code_spans(F28_TRUST_JAVA, 2)},
+        # F29: strncpy-no-null-term — same-size malloc/strncpy fires; +1
+        # headroom and explicit zero-termination must not (malloc results
+        # are if-checked so RetvalChecks stays quiet)
+        {"doc_id": "fixtures/c/nullterm",
+         "spans": split_code_spans(F29_NULLTERM_C, 2)},
     ]
     return docs
 

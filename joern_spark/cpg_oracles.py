@@ -909,6 +909,165 @@ q32 AS (
           AND NOT EXISTS (SELECT 1 FROM ml_bounds b
                           WHERE b.acc_id = c.acc_id AND b.bound >= c.idx)
     ) h JOIN n ON n.node_id = h.acc_id
+),
+-- q37: strncpy-no-null-term (c/NullTermination.scala:18-49) — stepe flow
+-- from the strncpy dst back to a malloc size argument with identical code,
+-- minus methods that explicitly zero-terminate the same buffer
+nt_sn AS (
+    SELECT c.node_id AS call_id, c.method_id AS m_id,
+           a1.arg_id AS dst_id, a1.a_code AS dst_code, a3.a_code AS size_code
+    FROM n c
+    JOIN sargs a1 ON a1.call_id = c.node_id AND a1.a_index = 1
+    JOIN sargs a3 ON a3.call_id = c.node_id AND a3.a_index = 3
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '(?i)^strncpy$')
+),
+nt_msize AS (
+    SELECT a.arg_id AS src_id, a.a_code AS src_code
+    FROM n c JOIN sargs a ON a.call_id = c.node_id AND a.a_index = 1
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, 'malloc$')
+),
+flnt AS (
+    SELECT dst_id AS sink_id, dst_id AS node_id, 0 AS depth FROM nt_sn
+    UNION
+    SELECT flnt.sink_id, s.prev, flnt.depth + s.dd
+    FROM flnt JOIN stepe s ON s.node_id = flnt.node_id
+    WHERE flnt.depth + s.dd <= 4
+),
+nt_hit AS (
+    SELECT DISTINCT sn.m_id, sn.dst_id, sn.dst_code
+    FROM nt_sn sn
+    JOIN flnt f ON f.sink_id = sn.dst_id
+    JOIN nt_msize ms ON ms.src_id = f.node_id
+         AND ms.src_code = sn.size_code
+),
+nt_excl AS (
+    SELECT DISTINCT ac.method_id AS m_id, ta.a_code AS dst_code
+    FROM sargs t
+    JOIN n ac ON ac.node_id = t.call_id AND ac.name IN ({_ASSIGN_IN})
+    JOIN n tn ON tn.node_id = t.arg_id AND tn.kind = 'CALL'
+         AND tn.name IN ({_ARRACC_IN})
+    JOIN sargs sv ON sv.call_id = t.call_id AND sv.a_index = 2
+         AND sv.a_kind = 'LITERAL' AND contains(sv.a_code, '0')
+    JOIN sargs ta ON ta.call_id = t.arg_id AND ta.a_index = 1
+    WHERE t.a_index = 1
+),
+q37 AS (
+    SELECT 'strncpy-no-null-term' AS name, n.doc_id, n.code AS finding_code
+    FROM (
+        SELECT DISTINCT h.dst_id FROM nt_hit h
+        WHERE NOT EXISTS (SELECT 1 FROM nt_excl x
+                          WHERE x.m_id = h.m_id
+                            AND x.dst_code = h.dst_code)
+    ) hh JOIN n ON n.node_id = hh.dst_id
+),
+-- q35: ineffective-certificate-check (java/CertificateChecks.scala:14-60)
+cc_valid AS (
+    SELECT m.node_id FROM n m
+    WHERE m.kind = 'METHOD' AND m.name = 'verify'
+      AND EXISTS (SELECT 1 FROM n p WHERE p.kind = 'METHOD_PARAMETER_IN'
+                  AND p.method_id = m.node_id
+                  AND regexp_matches(p.type_full_name, 'SSLSession'))
+    UNION
+    SELECT m.node_id FROM n m
+    WHERE m.kind = 'METHOD'
+      AND m.name IN ('checkClientTrusted', 'checkServerTrusted')
+      AND EXISTS (SELECT 1 FROM n p WHERE p.kind = 'METHOD_PARAMETER_IN'
+                  AND p.method_id = m.node_id
+                  AND regexp_matches(p.type_full_name, 'X509Certificate'))
+),
+cc_trivial AS (
+    SELECT v.node_id FROM cc_valid v
+    WHERE NOT EXISTS (SELECT 1 FROM n c WHERE c.kind = 'CONTROL_STRUCTURE'
+                      AND c.method_id = v.node_id)
+      AND NOT EXISTS (SELECT 1 FROM n c WHERE c.kind = 'CALL'
+                      AND c.method_id = v.node_id
+                      AND c.name NOT IN ({_ASSIGN_IN}))
+      AND (SELECT count(*) FROM n r WHERE r.kind = 'RETURN'
+           AND r.method_id = v.node_id) = 1
+),
+q35 AS (
+    SELECT 'ineffective-certificate-check' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (
+        SELECT r.node_id AS ret_id FROM n r
+        JOIN cc_trivial t ON t.node_id = r.method_id
+        WHERE r.kind = 'RETURN'
+          AND NOT EXISTS (
+              SELECT 1 FROM e a JOIN n k ON k.node_id = a.dst
+              WHERE a.kind = 'AST' AND a.src = r.node_id
+                AND (k.kind = 'CALL'
+                     OR (k.kind = 'LITERAL'
+                         AND k.code NOT IN ('true', '1'))))
+    ) h JOIN n ON n.node_id = h.ret_id
+),
+-- q36: xss-servlet (java/CrossSiteScripting.scala:15-44) — parameter leg is
+-- the stepe flow recursion; writer leg is the structural getWriter
+-- assignment (engine DDG has no receiver def-use edge)
+xs_getw AS (
+    SELECT node_id, method_id FROM n WHERE kind = 'CALL'
+      AND regexp_matches(full_name,
+            '^(javax\\.servlet\\.http\\.)?HttpServletResponse\\.getWriter')
+),
+xs_wdef AS (
+    SELECT DISTINCT t.a_name AS w_name, g.method_id AS m_id
+    FROM sargs t
+    JOIN n ac ON ac.node_id = t.call_id AND ac.name IN ({_ASSIGN_IN})
+    JOIN sargs r ON r.call_id = t.call_id AND r.a_index = 2
+    JOIN xs_getw g ON g.node_id = r.arg_id
+    WHERE t.a_index = 1
+),
+xs_println AS (
+    -- receivers hang off RECEIVER (not ARGUMENT) edges: read the receiver
+    -- identifier row directly (argument_index 0 + parent call id)
+    SELECT c.node_id AS call_id, a1.arg_id AS a1_id
+    FROM n c
+    JOIN n rv ON rv.kind = 'IDENTIFIER' AND rv.argument_index = 0
+         AND rv.parent_id = c.node_id
+    JOIN xs_wdef w ON w.m_id = c.method_id AND w.w_name = rv.name
+    JOIN sargs a1 ON a1.call_id = c.node_id AND a1.a_index = 1
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '^(java\\.io\\.)?PrintWriter\\.println')
+),
+flxa AS (
+    SELECT a1_id AS sink_id, a1_id AS node_id, 0 AS depth FROM xs_println
+    UNION
+    SELECT flxa.sink_id, s.prev, flxa.depth + s.dd
+    FROM flxa JOIN stepe s ON s.node_id = flxa.node_id
+    WHERE flxa.depth + s.dd <= 4
+),
+q36 AS (
+    SELECT 'xss-servlet' AS name, n.doc_id, n.code AS finding_code
+    FROM (
+        SELECT DISTINCT p.call_id FROM xs_println p
+        JOIN flxa f ON f.sink_id = p.a1_id
+        JOIN n g ON g.node_id = f.node_id AND g.kind = 'CALL'
+             AND regexp_matches(g.full_name,
+                   '^(javax\\.servlet\\.http\\.)?HttpServletRequest\\.getParameter')
+    ) h JOIN n ON n.node_id = h.call_id
+),
+-- q33: usage-of-insecure-protocol (kotlin/NetworkProtocols.scala:13-29)
+q33 AS (
+    SELECT 'usage-of-insecure-protocol' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (SELECT DISTINCT c.node_id FROM n c
+          JOIN sargs a ON a.call_id = c.node_id AND a.a_kind = 'LITERAL'
+               AND regexp_matches(a.a_code, '^[^h]*http:.*')
+          WHERE c.kind = 'CALL'
+            AND regexp_matches(c.full_name, '^(java\\.net\\.)?URL\\.<init>')
+    ) h JOIN n ON n.node_id = h.node_id
+),
+-- q34: fragment-injection (android/UnsafeReflection.scala:21-44) —
+-- build.gradle config content scanned line-wise for targetSdk < 19
+q34 AS (
+    SELECT 'fragment-injection' AS name, n.doc_id, n.code AS finding_code
+    FROM (
+        SELECT DISTINCT cf.node_id
+        FROM n cf, unnest(string_split(cf.code, chr(10))) AS t(ln)
+        WHERE cf.kind = 'CONFIG_FILE'
+          AND regexp_matches(cf.name, '.*build\\.gradle$')
+          AND TRY_CAST(regexp_extract(t.ln,
+                '^[^t]+targetSdk[^0-9]+([0-9]+)', 1) AS INT) < 19
+    ) h JOIN n ON n.node_id = h.node_id
 )
 SELECT * FROM q1 UNION ALL SELECT * FROM q2
 UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
@@ -926,6 +1085,9 @@ UNION ALL SELECT * FROM q25 UNION ALL SELECT * FROM q26
 UNION ALL SELECT * FROM q27 UNION ALL SELECT * FROM q28
 UNION ALL SELECT * FROM q29 UNION ALL SELECT * FROM q30
 UNION ALL SELECT * FROM q31 UNION ALL SELECT * FROM q32
+UNION ALL SELECT * FROM q33 UNION ALL SELECT * FROM q34
+UNION ALL SELECT * FROM q35 UNION ALL SELECT * FROM q36
+UNION ALL SELECT * FROM q37
 """
 
 ORACLES = {

@@ -34,9 +34,12 @@ _INCLUDE_RE = re.compile(
 )
 # XConfigFileCreationPass filters (x2cpg/.../frontend/
 # XConfigFileCreationPass.scala:64-71 extension/pathEnd filters): config docs
-# become a CONFIG_FILE node (name + content) instead of a parse tree
+# become a CONFIG_FILE node (name + content) instead of a parse tree.
+# gradle/kts per kotlin2cpg's config picker (SourceFilesPicker.scala:50-60,
+# ConfigPass.scala:16-20) — the android querydb pack scans build.gradle
 _CONFIG_RE = re.compile(
-    r"\.(json|xml|ya?ml|properties|toml|tfvars|tf|conf|cfg|ini|vm|jsp)$"
+    r"\.(json|xml|ya?ml|properties|toml|tfvars|tf|conf|cfg|ini|vm|jsp"
+    r"|gradle|kts)$"
     r"|(^|/)(MANIFEST\.MF|routes|Dockerfile)$"
 )
 

@@ -611,6 +611,144 @@ def _free_follows_value_reuse(cpg: Cpg) -> DataFrame:
         .select(F.col("use_id").alias("node_id")).distinct()
 
 
+def _ineffective_certificate_check(cpg: Cpg) -> DataFrame:
+    """java/CertificateChecks.scala:14-60 certChecks: a certificate/hostname
+    validator whose body is nothing but argument-copy prologue and an
+    always-positive return. Structural reading of the reference's CFG
+    prologue-skip: no control structure, no non-assignment call, exactly one
+    RETURN whose children are at most identifiers (the reference skips
+    local-ref identifiers as prologue) or a true/1 literal (lit.code == "1"
+    is the bytecode spelling of `true`). Signature pinning is by parameter
+    type (SSLSession / X509Certificate) — the mini frontends emit
+    source-level signatures, not JVM descriptors. Marks the RETURN."""
+    nodes = cpg.nodes
+    params = nodes.filter(F.col("kind") == "METHOD_PARAMETER_IN")
+    v1 = nodes.filter((F.col("kind") == "METHOD")
+                      & (F.col("name") == "verify")).select("node_id") \
+        .join(params.filter(F.col("type_full_name").rlike("SSLSession"))
+              .select(F.col("method_id").alias("node_id")).distinct(),
+              "node_id")
+    v2 = nodes.filter(
+        (F.col("kind") == "METHOD")
+        & F.col("name").isin("checkClientTrusted", "checkServerTrusted")) \
+        .select("node_id") \
+        .join(params.filter(F.col("type_full_name").rlike("X509Certificate"))
+              .select(F.col("method_id").alias("node_id")).distinct(),
+              "node_id")
+    validators = v1.unionByName(v2)
+    cs = nodes.filter(F.col("kind") == "CONTROL_STRUCTURE").select(
+        F.col("method_id").alias("node_id")).distinct()
+    real_calls = nodes.filter((F.col("kind") == "CALL")
+                              & ~F.col("name").isin(ASSIGNMENT_OPS)) \
+        .select(F.col("method_id").alias("node_id")).distinct()
+    one_ret = nodes.filter(F.col("kind") == "RETURN") \
+        .groupBy("method_id").agg(F.count("*").alias("k")) \
+        .filter(F.col("k") == 1).select(F.col("method_id").alias("node_id"))
+    trivial = validators.join(cs, "node_id", "left_anti") \
+        .join(real_calls, "node_id", "left_anti").join(one_ret, "node_id")
+    rets = nodes.filter(F.col("kind") == "RETURN").select(
+        F.col("node_id").alias("ret_id"), F.col("method_id").alias("node_id"))
+    kid_nodes = (
+        cpg.edges.filter(F.col("kind") == "AST")
+        .select(F.col("src").alias("ret_id"), F.col("dst").alias("kid_id"))
+        .join(nodes.select(F.col("node_id").alias("kid_id"),
+                           F.col("kind").alias("k_kind"),
+                           F.col("code").alias("k_code")), "kid_id")
+    )
+    bad_kids = kid_nodes.filter(
+        (F.col("k_kind") == "CALL")
+        | ((F.col("k_kind") == "LITERAL")
+           & ~F.col("k_code").isin("true", "1"))).select("ret_id").distinct()
+    return rets.join(trivial, "node_id").join(bad_kids, "ret_id", "left_anti") \
+        .select(F.col("ret_id").alias("node_id")).distinct()
+
+
+def _xss_servlet(cpg: Cpg) -> DataFrame:
+    """java/CrossSiteScripting.scala:15-44 xssServlet: an
+    HttpServletRequest.getParameter value reaches a PrintWriter.println
+    whose writer came from HttpServletResponse.getWriter. The parameter leg
+    is real dataflow (reachableBy); the writer leg is structural (the
+    println receiver's defining assignment has a getWriter RHS) — this
+    engine's DDG carries no receiver def-use edge. Marks the println."""
+    args = _args(cpg)
+    println = cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("full_name").rlike(r"^(java\.io\.)?PrintWriter\.println")
+    ).select(F.col("node_id").alias("call_id"),
+             F.col("method_id").alias("m_id"))
+    # receivers hang off a RECEIVER (not ARGUMENT) edge; the node row itself
+    # carries argument_index 0 and its parent call id
+    recv = cpg.nodes.filter((F.col("kind") == "IDENTIFIER")
+                            & (F.col("argument_index") == 0)) \
+        .select(F.col("parent_id").alias("call_id"),
+                F.col("name").alias("w_name"))
+    # w's defining assignment: target (index 1) named w, RHS (index 2) a
+    # getWriter call, same method
+    getw = cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("full_name").rlike(
+            r"^(javax\.servlet\.http\.)?HttpServletResponse\.getWriter")
+    ).select(F.col("node_id").alias("rhs_id"),
+             F.col("method_id").alias("m_id"))
+    asn = cpg.nodes.filter(F.col("name").isin(ASSIGNMENT_OPS)).select(
+        F.col("node_id").alias("asn_id"))
+    w_def = (
+        args.filter(F.col("argument_index") == 1)
+        .join(asn, args["call_id"] == asn["asn_id"])
+        .select("asn_id", F.col("a_name").alias("w_name"))
+        .join(args.filter(F.col("argument_index") == 2)
+              .select(F.col("call_id").alias("asn_id"),
+                      F.col("arg_id").alias("rhs_id")), "asn_id")
+        .join(getw, "rhs_id")
+        .select("w_name", "m_id").distinct()
+    )
+    writer_println = println.join(recv, "call_id").join(
+        w_def, ["m_id", "w_name"]).select("call_id").distinct()
+    a1 = args.filter(F.col("argument_index") == 1) \
+        .join(writer_println, "call_id") \
+        .select("call_id", F.col("arg_id").alias("a1_id"))
+    getp = cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("full_name").rlike(
+            r"^(javax\.servlet\.http\.)?HttpServletRequest\.getParameter")
+    ).select("node_id")
+    flows = reachable_by(cpg.nodes, cpg.edges,
+                         sinks=a1.select(F.col("a1_id").alias("node_id")),
+                         sources=getp)
+    return a1.join(flows, a1["a1_id"] == flows["sink_id"]) \
+        .select(F.col("call_id").alias("node_id")).distinct()
+
+
+def _insecure_url_protocol(cpg: Cpg) -> DataFrame:
+    """kotlin/NetworkProtocols.scala:13-29 usageOfInsecureProtocol: a URL
+    constructor whose literal argument carries an http: (not https:) scheme;
+    the reference's `^[^h]*http:.*` regex is kept verbatim (the [^h]* eats
+    the literal's opening quote and cannot skip past https')."""
+    url_init = cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("full_name").rlike(r"^(java\.net\.)?URL\.<init>")
+    ).select(F.col("node_id").alias("call_id"))
+    lits = _args(cpg).filter((F.col("a_kind") == "LITERAL")
+                             & F.col("a_code").rlike("^[^h]*http:.*"))
+    return url_init.join(lits.select("call_id"), "call_id") \
+        .select(F.col("call_id").alias("node_id")).distinct()
+
+
+def _fragment_injection(cpg: Cpg) -> DataFrame:
+    """android/UnsafeReflection.scala:21-44 fragmentInjection: a
+    build.gradle config file declaring targetSdk < 19 (below that level the
+    platform performs no isValidFragment check; regex kept verbatim)."""
+    cf = cpg.nodes.filter(
+        (F.col("kind") == "CONFIG_FILE")
+        & F.col("name").rlike(r".*build\.gradle$"))
+    lines = cf.select("node_id",
+                      F.explode(F.split(F.col("code"), "\n")).alias("ln"))
+    v = lines.withColumn("v", F.regexp_extract(
+        F.col("ln"), r"^[^t]+targetSdk[^0-9]+([0-9]+)", 1))
+    return v.filter((F.col("v") != "") & (F.col("v").cast("int") < 19)) \
+        .select("node_id").distinct()
+
+
 def _malloc_memcpy_int_overflow(cpg: Cpg) -> DataFrame:
     """c/HeapBasedOverflow.scala:22-41 mallocMemcpyIntOverflow (the 31C3 /
     CVE-2014-9626 query): a malloc whose size is an arithmetic expression is
@@ -656,6 +794,63 @@ def _malloc_memcpy_int_overflow(cpg: Cpg) -> DataFrame:
     hit = cand.join(flows, (flows["sink_id"] == cand["a1_id"])
                     & (flows["source_id"] == cand["t_id"]))
     return hit.select(F.col("mem_id").alias("node_id")).distinct()
+
+
+def _strncpy_no_null_term(cpg: Cpg) -> DataFrame:
+    """c/NullTermination.scala:18-49 strncpyNoNullTerm: the buffer passed to
+    strncpy was malloc'd with EXACTLY the copy size (the reached malloc size
+    argument's code equals strncpy's size argument's code), so strncpy
+    cannot null-terminate, and no explicit `dst[..] = 0`-style termination
+    exists in the method. Marks the strncpy dst argument (reference
+    `map(_._2)`). The reference's `dst.*\\[` code-prefix match is read
+    structurally: an assignment target that is an array access whose array
+    operand's code equals the dst's code."""
+    args = _args(cpg)
+    sn = (
+        cpg.call("(?i)^strncpy$").to_df()
+        .select(F.col("node_id").alias("call_id"),
+                F.col("method_id").alias("m_id"))
+        .join(args.filter(F.col("argument_index") == 1)
+              .select("call_id", F.col("arg_id").alias("dst_id"),
+                      F.col("a_code").alias("dst_code")), "call_id")
+        .join(args.filter(F.col("argument_index") == 3)
+              .select("call_id", F.col("a_code").alias("size_code")),
+              "call_id")
+    )
+    msize = (
+        cpg.call("malloc$").to_df().select(F.col("node_id").alias("call_id"))
+        .join(args.filter(F.col("argument_index") == 1)
+              .select("call_id", F.col("arg_id").alias("src_id"),
+                      F.col("a_code").alias("src_code")), "call_id")
+        .select("src_id", "src_code")
+    )
+    flows = reachable_by(cpg.nodes, cpg.edges,
+                         sinks=sn.select(F.col("dst_id").alias("node_id")),
+                         sources=msize.select(F.col("src_id").alias("node_id")))
+    hit = (
+        sn.join(flows, flows["sink_id"] == sn["dst_id"])
+        .join(msize, flows["source_id"] == msize["src_id"])
+        .filter(F.col("src_code") == F.col("size_code"))
+        .select("m_id", "dst_id", "dst_code").distinct()
+    )
+    asn = cpg.nodes.filter(F.col("name").isin(ASSIGNMENT_OPS)).select(
+        F.col("node_id").alias("call_id"), F.col("method_id").alias("m_id"))
+    arr_targets = (
+        args.filter((F.col("argument_index") == 1)
+                    & F.col("a_name").isin(ARRAY_ACCESS_OPS))
+        .select("call_id", F.col("arg_id").alias("acc_id"))
+        .join(asn, "call_id")
+        .join(args.filter((F.col("argument_index") == 2)
+                          & (F.col("a_kind") == "LITERAL")
+                          & F.col("a_code").contains("0"))
+              .select("call_id"), "call_id")
+        .join(args.filter(F.col("argument_index") == 1)
+              .select(F.col("call_id").alias("acc_id"),
+                      F.col("a_code").alias("arr_code")), "acc_id")
+        .select("m_id", F.col("arr_code").alias("dst_code")).distinct()
+    )
+    return hit.join(arr_targets, ["m_id", "dst_code"], "left_anti") \
+        .select(F.col("dst_id").alias("node_id")).distinct()
 
 
 def _constant_array_access_no_check(cpg: Cpg) -> DataFrame:
@@ -837,6 +1032,10 @@ DEFAULT_BUNDLE = [
     Query("multiple-returns", "Multiple returns", 1.0, _multiple_returns),
     Query("too-many-loops", "More than 4 loops", 1.0, _too_many_loops),
     Query("too-nested", "Nesting level higher than 3", 1.0, _too_nested),
+    # querydb/c/NullTermination.scala (score 4)
+    Query("strncpy-no-null-term",
+          "strncpy is used and no null termination is nearby", 4.0,
+          _strncpy_no_null_term),
     # querydb/c/MissingLengthCheck.scala (score 3)
     Query("constant-array-access-no-check",
           "Array access at fixed offset but sufficient length check not "
@@ -851,6 +1050,21 @@ DEFAULT_BUNDLE = [
     Query("low-pbe-key-iterations",
           "Low number of iterations detected for password-based encryption",
           6.0, _low_iteration_pbe_key),
+    # querydb/java/CertificateChecks.scala (score 6)
+    Query("ineffective-certificate-check",
+          "Ineffective Certificate Validation: The validation result is "
+          "always positive", 6.0, _ineffective_certificate_check),
+    # querydb/java/CrossSiteScripting.scala (score 8)
+    Query("xss-servlet",
+          "Reflected Cross-Site Scripting: Servlet Returns HTTP Input in "
+          "Response", 8.0, _xss_servlet),
+    # querydb/kotlin/NetworkProtocols.scala (score 4)
+    Query("usage-of-insecure-protocol", "Insecure Protocol used", 4.0,
+          _insecure_url_protocol),
+    # querydb/android/UnsafeReflection.scala (score 7)
+    Query("fragment-injection",
+          "Attackers can load fragments that should be private", 7.0,
+          _fragment_injection),
 ]
 
 

@@ -109,3 +109,8 @@ F20 = "fixtures/c/metrics"
 F21 = "fixtures/js/view.jsx"
 F22 = "fixtures/c/heap"
 F23 = "fixtures/c/lencheck"
+F24 = "fixtures/java/Net.java"
+F25 = "fixtures/android/app/build.gradle"
+F26 = "fixtures/android/lib/build.gradle"
+F27 = "fixtures/java/Servlet.java"
+F28 = "fixtures/java/Trust.java"

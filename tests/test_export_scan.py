@@ -92,7 +92,10 @@ def test_querydb_ports(cpg):
     assert by_name["call-to-gets"] == [(sc, "gets(buf)")]
     assert by_name["call-to-scanf"] == [(sc, 'scanf("%s", buf)')]
     assert by_name["call-to-strcat"] == [(sc, "strcat(dst, src)")]
-    assert by_name["call-to-strcpy"] == [(sc, "strcpy(dst, src)")]
+    # the strcpy family regex also catches F29's three strncpy calls
+    nt = "fixtures/c/nullterm"
+    assert sorted(by_name["call-to-strcpy"]) == [
+        (nt, "strncpy(ptr, ntsrc, asize)")] * 3 + [(sc, "strcpy(dst, src)")]
     assert by_name["call-to-strtok"] == [(sc, 'strtok(src, ",")')]
     assert by_name["call-to-getwd"] == [(sc, "getwd(buf)")]
     # 255 << val, val << val, val <<= 24 fire; u << 2 (unsigned) must not
@@ -149,6 +152,8 @@ def test_metrics_and_crypto_ports(cpg):
     assert sorted(by_name["multiple-returns"]) == [
         (mc, "int mx_returns(int x)"),
         ("fixtures/c/scanners", "int rv_direct(int fd)"),
+        ("fixtures/java/Trust.java",
+         "boolean verifyStrict(String host, SSLSession session)"),
         ("fixtures/jimple/Dispatch.jimple", "public static int jtally(int)"),
         ("fixtures/js/view.jsx", "function getGreeting(user)"),
         ("fixtures/py/app.py", "def draw")]
@@ -172,6 +177,27 @@ def test_metrics_and_crypto_ports(cpg):
     # under `if (npkt)` (implicit zero bound) must not
     assert by_name["constant-array-access-no-check"] == [
         ("fixtures/c/lencheck", "pkt[8]")]
+    # NetworkProtocols (F24): http constructor fires, https must not
+    assert by_name["usage-of-insecure-protocol"] == [
+        ("fixtures/java/Net.java", 'new URL("http://phrack.org")')]
+    # UnsafeReflection fragment-injection (F25/F26): targetSdk 17 gradle
+    # fires (finding code = full config content), targetSdk 33 must not
+    assert [d for d, _ in by_name["fragment-injection"]] == [
+        "fixtures/android/app/build.gradle"]
+    # CrossSiteScripting (F27): getParameter → writer println fires; the
+    # constant println and the non-writer (Logger) println must not
+    assert by_name["xss-servlet"] == [
+        ("fixtures/java/Servlet.java", "w.println(p)")]
+    # CertificateChecks (F28): `return true` verify and empty
+    # checkServerTrusted fire (finding = the RETURN); branching verifier
+    # must not
+    assert sorted(by_name["ineffective-certificate-check"]) == [
+        ("fixtures/java/Trust.java", "return"),
+        ("fixtures/java/Trust.java", "return true")]
+    # NullTermination (F29): same-size malloc/strncpy fires on the dst;
+    # +1-headroom malloc and the explicitly zero-terminated buffer must not
+    assert by_name["strncpy-no-null-term"] == [
+        ("fixtures/c/nullterm", "ptr")]
     findings.unpersist()
 
 

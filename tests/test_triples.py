@@ -12,11 +12,12 @@ import pathlib
 import pytest
 
 from tests.conftest import (F1, F2, F3, F4, F5, F6, F13, F15, F18, F19, F20,
-                            F21, F22, F23)
+                            F21, F22, F23, F24, F27, F28)
 from tests.triple_labels import from_json, precision_recall, triple_counter
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
-FIXTURES = [F1, F2, F3, F4, F5, F6, F13, F15, F18, F19, F20, F21, F22, F23]
+FIXTURES = [F1, F2, F3, F4, F5, F6, F13, F15, F18, F19, F20, F21, F22, F23,
+            F24, F27, F28]
 
 
 def _slug(doc_id: str) -> str:

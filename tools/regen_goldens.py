@@ -25,7 +25,8 @@ FIXTURES = [
     "fixtures/c/scanners", "fixtures/java/Injection.java",
     "fixtures/jimple/Dispatch.jimple",
     "fixtures/java/Crypto.java", "fixtures/c/metrics", "fixtures/js/view.jsx",
-    "fixtures/c/heap", "fixtures/c/lencheck",
+    "fixtures/c/heap", "fixtures/c/lencheck", "fixtures/java/Net.java",
+    "fixtures/java/Servlet.java", "fixtures/java/Trust.java",
 ]
 
 
