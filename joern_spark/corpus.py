@@ -334,6 +334,235 @@ int nt_alsogood(int asize, char *ntsrc) {
   return 0;
 }"""
 
+F30_GETENV_C = """void env_copy(char *dst) {
+  char *p = getenv("PATH");
+  strcpy(dst, p);
+}
+void env_safe(char *dst2) {
+  char *p2 = getenv("HOME");
+  strcpy(dst2, "lit");
+}"""
+
+F31_PHPISH_JS = """function phpish(db) {
+  var q = _REQUEST["cmd"];
+  db.query(q);
+  shell_exec(q);
+}
+function phpish_safe(db2) {
+  var s2 = "safe";
+  db2.query(s2);
+  shell_exec(s2);
+}"""
+
+F32_ROOT_JAVA = """class RootCheck {
+  void onCreate() {
+    boolean r = isRooted();
+    log(r);
+  }
+  boolean isRooted() {
+    String path = "/system/xbin/su";
+    File f = new File(path);
+    boolean e = f.exists();
+    return e;
+  }
+  boolean isRootedNop() {
+    String p2 = "/system/app/Superuser.apk";
+    File g = new File(p2);
+    boolean e2 = g.exists();
+    return e2;
+  }
+}"""
+
+F33_MANIFEST_BACKUP = """<?xml version="1.0" encoding="utf-8"?>
+<manifest xmlns:android="http://schemas.android.com/apk/res/android"
+    package="com.example.backup">
+    <application
+        android:allowBackup="true"
+        android:label="BackupApp">
+        <activity android:name=".MainActivity" android:exported="true" />
+    </application>
+</manifest>"""
+
+F34_MANIFEST_OK = """<?xml version="1.0" encoding="utf-8"?>
+<manifest xmlns:android="http://schemas.android.com/apk/res/android"
+    package="com.example.nobackup">
+    <application
+        android:allowBackup="false"
+        android:label="NoBackupApp">
+        <activity android:name=".MainActivity" android:exported="true" />
+    </application>
+</manifest>"""
+
+F35_GRADLE_TAP = """plugins {
+    id 'com.android.application'
+}
+android {
+    compileSdk 32
+    defaultConfig {
+        minSdk 17
+        targetSdk 21
+    }
+}"""
+
+F36_PRNG_JAVA = """class Rng {
+  SecureRandom prng() {
+    SecureRandom r = SecureRandom.getInstance("SHA1PRNG");
+    return r;
+  }
+}"""
+
+F37_MANIFEST_ATTACK = """<?xml version="1.0" encoding="utf-8"?>
+<manifest xmlns:android="http://schemas.android.com/apk/res/android"
+    package="com.example.attack">
+    <uses-permission android:name="android.permission.READ_EXTERNAL_STORAGE" />
+    <application
+        android:allowBackup="false"
+        android:usesCleartextTraffic="true"
+        android:label="AttackApp">
+        <activity android:name=".FwdActivity" android:exported="true" />
+        <activity android:name=".SafeActivity" android:exported="false" />
+        <receiver android:name=".EvilReceiver" android:exported="true" />
+        <receiver android:name=".TameReceiver" android:exported="false" />
+    </application>
+</manifest>"""
+
+F38_INTENT_JAVA = """class FwdActivity {
+  void onCreate(Runtime rt) {
+    Intent ix = getIntent();
+    rt.exec(ix);
+  }
+}
+class SafeActivity {
+  void onCreate(Runtime rt2) {
+    Intent iy = getIntent();
+    rt2.exec(iy);
+  }
+}"""
+
+F39_RECEIVER_JAVA = """class EvilReceiver {
+  void onReceive(Context ctx, Intent inx) {
+    FileOutputStream fos = openOut(ctx);
+    fos.write(inx);
+  }
+  FileOutputStream openOut(Context c) {
+    FileOutputStream o = new FileOutputStream(c);
+    return o;
+  }
+}
+class TameReceiver {
+  void onReceive(Context ctx2, Intent iny) {
+    FileOutputStream fos2 = openOut2(ctx2);
+    fos2.write(iny);
+  }
+  FileOutputStream openOut2(Context c2) {
+    FileOutputStream o2 = new FileOutputStream(c2);
+    return o2;
+  }
+}"""
+
+F40_DEX_JAVA = """class Dyn {
+  void risky(Method m, Object a) {
+    File base = getExternalStorageDirectory();
+    DexClassLoader dcl = new DexClassLoader(base, null);
+    Class k = dcl.loadClass("evil");
+    m.invoke(k, a);
+  }
+  void tame(Method m2, Object a2, String local) {
+    DexClassLoader dcl2 = new DexClassLoader(local, null);
+    Class k2 = dcl2.loadClass("ok");
+    m2.invoke(k2, a2);
+  }
+}"""
+
+F41_WEBVIEW_JAVA = """class Bridge {
+  @JavascriptInterface
+  void run(Runtime rt, String cmd) {
+    rt.exec(cmd);
+  }
+}
+class SafeBridge {
+  @JavascriptInterface
+  void run(Logger lg, String msg) {
+    lg.info(msg);
+  }
+}
+class WebHost {
+  void setup(WebView wv) {
+    wv.setJavaScriptEnabled(true);
+    Bridge b = new Bridge();
+    wv.addJavascriptInterface(b, "bridge");
+    String u = "http://insecure.example";
+    wv.loadUrl(u);
+  }
+}
+class SafeHost {
+  void setup(WebView wv2) {
+    wv2.setJavaScriptEnabled(true);
+    SafeBridge b2 = new SafeBridge();
+    wv2.addJavascriptInterface(b2, "safe");
+    String u2 = "https://secure.example";
+    wv2.loadUrl(u2);
+  }
+}"""
+
+F42_UNZIP_JAVA = """class Unzip {
+  void unsafe(ZipEntry entry, String destDir) {
+    File fileForEntry = entryFileU(destDir, entry);
+    FileOutputStream out = new FileOutputStream(fileForEntry);
+    drain(out);
+  }
+  void safe(ZipEntry entry2, String destDir2) {
+    File f2 = entryFileS(destDir2, entry2);
+    boolean ok = f2.startsWith(destDir2);
+    FileOutputStream out2 = new FileOutputStream(f2);
+    drain(out2);
+  }
+  File entryFileU(String d, ZipEntry e) {
+    File r = new File(d, e);
+    return r;
+  }
+  File entryFileS(String d2, ZipEntry e2) {
+    File r2 = new File(d2, e2);
+    return r2;
+  }
+}"""
+
+F43_TRUSTMGR_JAVA = """class NopTrust implements X509TrustManager {
+  void checkClientTrusted(X509Certificate chain, String authType) {}
+  void checkServerTrusted(X509Certificate chain2, String authType2) {}
+}
+class StrictTrust implements X509TrustManager {
+  void checkClientTrusted(X509Certificate c, String a) { validate(c); }
+  void checkServerTrusted(X509Certificate c2, String a2) { validate(c2); }
+  void validate(X509Certificate v) { log(v); }
+}
+class CtxUse {
+  void insecure(SSLContext ctx, SecureRandom sr) {
+    TrustManager tms = new NopTrust();
+    ctx.init(null, tms, sr);
+  }
+  void secure(SSLContext ctx2, SecureRandom sr2) {
+    TrustManager tms2 = new StrictTrust();
+    ctx2.init(null, tms2, sr2);
+  }
+}"""
+
+F44_REDIRECT_JAVA = """class Redirector {
+  void matching(Intent theIntent) {
+    Intent fwd = theIntent.getParcelableExtra("k");
+    startActivity(fwd);
+  }
+  void nonmatching(Intent theIntent2) {
+    Intent fwd2 = theIntent2.getParcelableExtra("k");
+    boolean ok = approved(fwd2);
+    if (ok) { startActivity(fwd2); }
+  }
+  boolean approved(Intent q) {
+    boolean v = q.resolveActivity();
+    return v;
+  }
+}"""
+
 F27_SERVLET_JAVA = """class MyServlet {
   void doGet(HttpServletRequest req, HttpServletResponse resp) {
     String p = req.getParameter("q");
@@ -601,6 +830,64 @@ def fixture_docs() -> list[dict]:
         # are if-checked so RetvalChecks stays quiet)
         {"doc_id": "fixtures/c/nullterm",
          "spans": split_code_spans(F29_NULLTERM_C, 2)},
+        # F30: getenv-to-strcpy (ghidra pack) — getenv result into strcpy
+        # source buffer fires; a literal source buffer must not
+        {"doc_id": "fixtures/c/envcopy",
+         "spans": split_code_spans(F30_GETENV_C, 2)},
+        # F31: php pack shapes in the jssrc-mini — a _REQUEST subscript
+        # flowing into a receiver-ful query() and into shell_exec() fires;
+        # the constant twin must not
+        {"doc_id": "fixtures/js/phpish.js",
+         "spans": split_code_spans(F31_PHPISH_JS, 2)},
+        # F32: root-detection-via-file-checks — /su literal reaching a called
+        # isRooted's exists() fires; the caller-less twin must not
+        {"doc_id": "fixtures/java/RootCheck.java",
+         "spans": split_code_spans(F32_ROOT_JAVA, 2)},
+        # F33/F34: manifest-backup-enabled — allowBackup true/false manifests
+        {"doc_id": "fixtures/android/backup/AndroidManifest.xml",
+         "spans": split_code_spans(F33_MANIFEST_BACKUP, 1)},
+        {"doc_id": "fixtures/android/nobackup/AndroidManifest.xml",
+         "spans": split_code_spans(F34_MANIFEST_OK, 1)},
+        # F35: tap-jacking (targetSdk 21 < 23 fires; F26's 33 must not, and
+        # 21 >= 19 keeps fragment-injection quiet) + vuln-prng minSdk 17
+        {"doc_id": "fixtures/android/tap/build.gradle",
+         "spans": split_code_spans(F35_GRADLE_TAP, 1)},
+        # F36: vuln-prng code-side evidence — "SHA1PRNG" literal into
+        # SecureRandom.getInstance
+        {"doc_id": "fixtures/java/Rng.java",
+         "spans": split_code_spans(F36_PRNG_JAVA, 1)},
+        # F37: attack-app manifest — exported activity/receiver names,
+        # cleartext traffic, external-storage permission (android pack gates)
+        {"doc_id": "fixtures/android/attack/AndroidManifest.xml",
+         "spans": split_code_spans(F37_MANIFEST_ATTACK, 1)},
+        # F38: intent-to-runtime-exec — exported FwdActivity fires; the
+        # unexported SafeActivity twin must not
+        {"doc_id": "fixtures/java/FwdActivity.java",
+         "spans": split_code_spans(F38_INTENT_JAVA, 2)},
+        # F39: broadcast-to-file-write — exported EvilReceiver's onReceive
+        # intent into a FileOutputStream write fires; unexported twin not
+        {"doc_id": "fixtures/java/EvilReceiver.java",
+         "spans": split_code_spans(F39_RECEIVER_JAVA, 2)},
+        # F40: external-storage-to-dex-classloader — full chain fires; the
+        # local-path loader twin must not
+        {"doc_id": "fixtures/java/Dyn.java",
+         "spans": split_code_spans(F40_DEX_JAVA, 2)},
+        # F41: insecure-load-url-to-exec — http-loading host's @JavascriptInterface
+        # bridge param into Runtime.exec fires; the https host's bridge not
+        {"doc_id": "fixtures/java/WebHost.java",
+         "spans": split_code_spans(F41_WEBVIEW_JAVA, 3)},
+        # F42: unzip-directory-traversal — unchecked ZipEntry param into
+        # FileOutputStream init fires; the startsWith-guarded twin must not
+        {"doc_id": "fixtures/java/Unzip.java",
+         "spans": split_code_spans(F42_UNZIP_JAVA, 2)},
+        # F43: usage-of-nop-trust-manager — empty-check trust manager alloc
+        # into SSLContext.init fires; the validating twin must not
+        {"doc_id": "fixtures/java/Trustmgr.java",
+         "spans": split_code_spans(F43_TRUSTMGR_JAVA, 2)},
+        # F44: intent-redirection — unguarded startActivity forward fires;
+        # the control-structure-guarded twin must not
+        {"doc_id": "fixtures/java/Redirector.java",
+         "spans": split_code_spans(F44_REDIRECT_JAVA, 2)},
     ]
     return docs
 

@@ -1068,6 +1068,548 @@ q34 AS (
           AND TRY_CAST(regexp_extract(t.ln,
                 '^[^t]+targetSdk[^0-9]+([0-9]+)', 1) AS INT) < 19
     ) h JOIN n ON n.node_id = h.node_id
+),
+-- q38: call-to-strcpy-ghidra (ghidra/DangerousFunctions.scala:13-31) —
+-- the binary pack's unanchored case-insensitive strcpy-family regex
+q38 AS (
+    SELECT 'call-to-strcpy-ghidra' AS name, doc_id, code AS finding_code
+    FROM n WHERE kind = 'CALL' AND regexp_matches(name, '(?i)(strcpy|strncpy)')
+),
+-- q39: getenv-to-strcpy (ghidra/UserInputIntoDangerousFunctions.scala:21-33)
+-- source = argument(2) of the CFG successor call of a getenv call; sink =
+-- strcpy's source-buffer argument; recursion over the shared stepe edges
+ge_src AS (
+    SELECT DISTINCT a.arg_id AS node_id
+    FROM n g
+    JOIN e cfg ON cfg.kind = 'CFG' AND cfg.src = g.node_id
+    JOIN n nx ON nx.node_id = cfg.dst AND nx.kind = 'CALL'
+    JOIN sargs a ON a.call_id = nx.node_id AND a.a_index = 2
+    WHERE g.kind = 'CALL' AND regexp_matches(g.name, '^getenv$')
+),
+ge_sink AS (
+    SELECT DISTINCT a.arg_id AS node_id
+    FROM n c JOIN sargs a ON a.call_id = c.node_id AND a.a_index = 2
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^strcpy$')
+),
+flge AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM ge_sink
+    UNION
+    SELECT s.prev, flge.sink_id, flge.depth + s.dd
+    FROM flge JOIN stepe s ON s.node_id = flge.node_id
+    WHERE flge.depth + s.dd <= 4
+),
+q39 AS (
+    SELECT 'getenv-to-strcpy' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT flge.sink_id FROM flge
+          JOIN ge_src sp ON sp.node_id = flge.node_id) h
+    JOIN n ON n.node_id = h.sink_id
+),
+-- q40/q41: php pack (php/SQLInjection.scala:15-38, ShellExec.scala:15-38) —
+-- shared superglobal source, receiver-ful query() / shell_exec() sinks
+php_src AS (
+    SELECT DISTINCT a.arg_id AS node_id
+    FROM n c JOIN sargs a ON a.call_id = c.node_id
+    WHERE c.kind = 'CALL' AND c.name IN ({_ASSIGN_IN})
+      AND regexp_matches(a.a_code, '.*_(REQUEST|GET|POST).*')
+),
+php_q_sink AS (
+    SELECT DISTINCT a.arg_id AS node_id
+    FROM n c
+    JOIN e r ON r.kind = 'RECEIVER' AND r.src = c.node_id
+    JOIN sargs a ON a.call_id = c.node_id
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^query$')
+),
+php_x_sink AS (
+    SELECT DISTINCT a.arg_id AS node_id
+    FROM n c JOIN sargs a ON a.call_id = c.node_id
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^shell_exec$')
+),
+flpq AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM php_q_sink
+    UNION
+    SELECT s.prev, flpq.sink_id, flpq.depth + s.dd
+    FROM flpq JOIN stepe s ON s.node_id = flpq.node_id
+    WHERE flpq.depth + s.dd <= 4
+),
+flpx AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM php_x_sink
+    UNION
+    SELECT s.prev, flpx.sink_id, flpx.depth + s.dd
+    FROM flpx JOIN stepe s ON s.node_id = flpx.node_id
+    WHERE flpx.depth + s.dd <= 4
+),
+q40 AS (
+    SELECT 'php-sql-injection' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT flpq.sink_id FROM flpq
+          JOIN php_src sp ON sp.node_id = flpq.node_id) h
+    JOIN n ON n.node_id = h.sink_id
+),
+q41 AS (
+    SELECT 'shell-exec' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT flpx.sink_id FROM flpx
+          JOIN php_src sp ON sp.node_id = flpx.node_id) h
+    JOIN n ON n.node_id = h.sink_id
+),
+-- q42: root-detection-via-file-checks (android/RootDetection.scala:16-33) —
+-- superuser-suffix path literal reaching an exists() receiver; finding =
+-- the enclosing method, kept only when that method has a caller
+rd_lit AS (
+    SELECT node_id FROM n
+    WHERE kind = 'LITERAL' AND contains(code, '/')
+      AND regexp_matches(regexp_replace(code, '["'']+$', ''),
+                         '(Superuser\\.apk|superuser\\.apk|/su)$')
+),
+-- receiver use is modeled at the call node: sink on the exists call itself
+rd_sink AS (
+    SELECT DISTINCT c.node_id, c.method_id AS m_id
+    FROM n c
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^exists$')
+),
+flrd AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM rd_sink
+    UNION
+    SELECT s.prev, flrd.sink_id, flrd.depth + s.dd
+    FROM flrd JOIN stepe s ON s.node_id = flrd.node_id
+    WHERE flrd.depth + s.dd <= 4
+),
+q42 AS (
+    SELECT 'root-detection-via-file-checks' AS name, m.doc_id,
+           m.code AS finding_code
+    FROM (
+        SELECT DISTINCT rs.m_id
+        FROM flrd JOIN rd_lit l ON l.node_id = flrd.node_id
+        JOIN rd_sink rs ON rs.node_id = flrd.sink_id
+    ) h
+    JOIN n m ON m.node_id = h.m_id
+    WHERE EXISTS (SELECT 1 FROM e WHERE e.kind = 'CALL' AND e.dst = h.m_id)
+),
+-- q43: manifest-backup-enabled (android/Misconfigurations.scala:13-90) —
+-- allowBackup="true" inside the <application ...> open tag
+q43 AS (
+    SELECT 'manifest-backup-enabled' AS name, doc_id, code AS finding_code
+    FROM n
+    WHERE kind = 'CONFIG_FILE'
+      AND regexp_matches(name, '.*AndroidManifest\\.xml$')
+      AND regexp_matches(
+            regexp_extract(code, '<application\\b([^>]*)>', 1, 's'),
+            'android:allowBackup\\s*=\\s*"true"')
+),
+-- q44: tap-jacking (android/Misconfigurations.scala:92-178) — targetSdk < 23
+q44 AS (
+    SELECT 'tap-jacking' AS name, n.doc_id, n.code AS finding_code
+    FROM (
+        SELECT DISTINCT cf.node_id
+        FROM n cf, unnest(string_split(cf.code, chr(10))) AS t(ln)
+        WHERE cf.kind = 'CONFIG_FILE'
+          AND regexp_matches(cf.name, '.*build\\.gradle$')
+          AND TRY_CAST(regexp_extract(t.ln,
+                '^[^t]+targetSdk[^0-9]+([0-9]+)', 1) AS INT) < 23
+    ) h JOIN n ON n.node_id = h.node_id
+),
+-- q45: vuln-prng-android-v16_18 (android/Misconfigurations.scala:180-227) —
+-- minSdk in [16,18] gradle files, reported only when the corpus shows PRNG
+-- use (default SecureRandom() or a PRNG literal reaching getInstance)
+prng_lit AS (
+    SELECT node_id FROM n
+    WHERE kind = 'LITERAL' AND regexp_matches(code, '".*PRNG.*"')
+),
+prng_sink AS (
+    SELECT node_id FROM n
+    WHERE kind = 'CALL'
+      AND regexp_matches(code, '.*SecureRandom.getInstance.*')
+),
+flpr AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM prng_sink
+    UNION
+    SELECT s.prev, flpr.sink_id, flpr.depth + s.dd
+    FROM flpr JOIN stepe s ON s.node_id = flpr.node_id
+    WHERE flpr.depth + s.dd <= 4
+),
+prng_evidence AS (
+    -- existence probe; DISTINCT caps it at one row (DuckDB disallows LIMIT
+    -- inside a WITH RECURSIVE chain)
+    SELECT DISTINCT 1 AS one FROM (
+        SELECT 1 AS hit FROM n c
+        WHERE c.kind = 'CALL'
+          AND regexp_matches(c.full_name, 'SecureRandom\\.<init>')
+          AND NOT EXISTS (SELECT 1 FROM sargs a WHERE a.call_id = c.node_id)
+        UNION ALL
+        SELECT 1 FROM flpr JOIN prng_lit l ON l.node_id = flpr.node_id
+    ) u
+),
+q45 AS (
+    SELECT 'vuln-prng-android-v16_18' AS name, n.doc_id, n.code AS finding_code
+    FROM (
+        SELECT DISTINCT cf.node_id
+        FROM n cf, unnest(string_split(cf.code, chr(10))) AS t(ln)
+        WHERE cf.kind = 'CONFIG_FILE'
+          AND regexp_matches(cf.name, '.*build\\.gradle$')
+          AND TRY_CAST(regexp_extract(t.ln,
+                '^[^t]+minSdk[^0-9]+([0-9]+)', 1) AS INT) BETWEEN 16 AND 18
+    ) h
+    JOIN n ON n.node_id = h.node_id
+    CROSS JOIN prng_evidence
+),
+-- q46: intent-redirection (android/UnprotectedAppParts.scala:16-33) —
+-- Intent getParcelableExtra result reaching an unguarded startActivity arg;
+-- finding marks the SOURCE call
+ir_src AS (
+    SELECT node_id FROM n
+    WHERE kind = 'CALL' AND regexp_matches(name, '^getParcelableExtra$')
+      AND regexp_matches(code, '.*Intent.*')
+),
+ir_ctl AS (
+    SELECT node_id FROM n WHERE kind = 'CONTROL_STRUCTURE'
+    UNION
+    SELECT a.dst FROM e a JOIN n p ON p.node_id = a.src
+    WHERE a.kind = 'AST' AND p.kind = 'CONTROL_STRUCTURE'
+),
+ir_sink AS (
+    SELECT DISTINCT a.arg_id AS node_id
+    FROM n c JOIN sargs a ON a.call_id = c.node_id
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^startActivity$')
+      AND NOT EXISTS (
+          SELECT 1 FROM e cd JOIN ir_ctl t ON t.node_id = cd.src
+          WHERE cd.kind = 'CDG' AND cd.dst = c.node_id)
+),
+flir AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM ir_sink
+    UNION
+    SELECT s.prev, flir.sink_id, flir.depth + s.dd
+    FROM flir JOIN stepe s ON s.node_id = flir.node_id
+    WHERE flir.depth + s.dd <= 4
+),
+q46 AS (
+    SELECT 'intent-redirection' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT sp.node_id FROM flir
+          JOIN ir_src sp ON sp.node_id = flir.node_id) h
+    JOIN n ON n.node_id = h.node_id
+),
+-- q47: unzip-directory-traversal (kotlin/PathTraversals.scala:16-41) —
+-- ZipEntry-typed parameter never startsWith-checked, reaching a
+-- FileOutputStream constructor argument
+uz_param AS (
+    SELECT node_id FROM n WHERE kind = 'METHOD_PARAMETER_IN'
+      AND regexp_matches(type_full_name, '(^|\\.)(ArchiveEntry|ZipEntry)$')
+),
+-- receiver use is modeled at the call node: the guard sink is the call
+uz_sw AS (
+    SELECT DISTINCT c.node_id
+    FROM n c
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^startsWith$')
+),
+fluzg AS (
+    SELECT node_id, node_id AS sink_id, 0 AS depth FROM uz_sw
+    UNION
+    SELECT s.prev, fluzg.sink_id, fluzg.depth + s.dd
+    FROM fluzg JOIN stepe s ON s.node_id = fluzg.node_id
+    WHERE fluzg.depth + s.dd <= 4
+),
+uz_unchecked AS (
+    -- anti-join instead of EXCEPT: DuckDB only allows UNION [ALL] set ops
+    -- on CTEs inside a WITH RECURSIVE chain
+    SELECT p0.node_id FROM uz_param p0
+    WHERE NOT EXISTS (
+        SELECT 1 FROM fluzg WHERE fluzg.node_id = p0.node_id
+    )
+),
+uz_fos AS (
+    SELECT a.call_id, a.arg_id
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '(^|\\.)FileOutputStream\\.<init>')
+),
+fluzs AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM uz_fos
+    UNION
+    SELECT s.prev, fluzs.sink_id, fluzs.depth + s.dd
+    FROM fluzs JOIN stepe s ON s.node_id = fluzs.node_id
+    WHERE fluzs.depth + s.dd <= 4
+),
+q47 AS (
+    SELECT 'unzip-directory-traversal' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (SELECT DISTINCT f.call_id FROM fluzs
+          JOIN uz_unchecked u ON u.node_id = fluzs.node_id
+          JOIN uz_fos f ON f.arg_id = fluzs.sink_id) h
+    JOIN n ON n.node_id = h.call_id
+),
+-- q48: usage-of-nop-trust-manager (kotlin/NetworkCommunication.scala:20-46)
+ntm_td AS (
+    SELECT td.node_id AS td_id, td.name AS td_name, td.full_name AS td_full
+    FROM n td
+    JOIN e i ON i.kind = 'INHERITS_FROM' AND i.src = td.node_id
+    JOIN n s ON s.node_id = i.dst AND s.kind IN ('TYPE', 'TYPE_DECL')
+         AND regexp_matches(s.full_name, '(^|\\.)X509TrustManager$')
+    WHERE td.kind = 'TYPE_DECL' AND td.is_external = false
+),
+ntm_empty AS (
+    SELECT m.node_id AS m_id FROM n m
+    JOIN n b ON b.kind = 'BLOCK' AND b.method_id = m.node_id
+    WHERE m.kind = 'METHOD'
+      AND m.name IN ('checkClientTrusted', 'checkServerTrusted')
+      AND NOT EXISTS (SELECT 1 FROM e a
+                      WHERE a.kind = 'AST' AND a.src = b.node_id)
+),
+ntm_nop AS (
+    SELECT DISTINCT t.td_name, t.td_full
+    FROM ntm_td t
+    JOIN e a ON a.kind = 'AST' AND a.src = t.td_id
+    JOIN ntm_empty em ON em.m_id = a.dst
+),
+ntm_alloc AS (
+    SELECT c.node_id FROM n c
+    JOIN ntm_nop t ON c.type_full_name = t.td_name
+                   OR c.type_full_name = t.td_full
+    WHERE c.kind = 'CALL' AND regexp_matches(c.full_name, '\\.<init>$')
+),
+ntm_sink AS (
+    SELECT a.call_id, a.arg_id
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '(^|\\.)SSLContext\\.init$')
+      AND a.a_index = 2
+),
+flntm AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM ntm_sink
+    UNION
+    SELECT s.prev, flntm.sink_id, flntm.depth + s.dd
+    FROM flntm JOIN stepe s ON s.node_id = flntm.node_id
+    WHERE flntm.depth + s.dd <= 4
+),
+q48 AS (
+    SELECT 'usage-of-nop-trust-manager' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (SELECT DISTINCT k.call_id FROM flntm
+          JOIN ntm_alloc al ON al.node_id = flntm.node_id
+          JOIN ntm_sink k ON k.arg_id = flntm.sink_id) h
+    JOIN n ON n.node_id = h.call_id
+),
+-- q49: broadcast-to-file-write (android/ArbitraryFileWrites.scala:18-37) —
+-- exported receiver onReceive intent param into FileOutputStream.write
+bm_exported AS (
+    SELECT DISTINCT regexp_replace(regexp_extract(t.el,
+             'android:name\\s*=\\s*"([^"]+)"', 1), '^\\.', '') AS cls_name
+    FROM n cf, unnest(regexp_extract_all(cf.code, '<receiver\\b[^>]*>', 0))
+         AS t(el)
+    WHERE cf.kind = 'CONFIG_FILE'
+      AND regexp_matches(cf.name, '.*AndroidManifest\\.xml$')
+      AND regexp_matches(t.el, 'android:exported\\s*=\\s*"true"')
+),
+bm_src AS (
+    SELECT p.node_id FROM n p
+    JOIN n m ON m.node_id = p.method_id AND m.kind = 'METHOD'
+         AND m.name = 'onReceive'
+    JOIN e a ON a.kind = 'AST' AND a.dst = p.method_id
+    JOIN n td ON td.node_id = a.src AND td.kind = 'TYPE_DECL'
+    JOIN bm_exported x ON x.cls_name = td.name
+    WHERE p.kind = 'METHOD_PARAMETER_IN' AND p."order" = 2
+),
+bm_sink AS (
+    SELECT a.call_id, a.arg_id
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '(^|\\.)FileOutputStream\\.write$')
+),
+flbm AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM bm_sink
+    UNION
+    SELECT s.prev, flbm.sink_id, flbm.depth + s.dd
+    FROM flbm JOIN stepe s ON s.node_id = flbm.node_id
+    WHERE flbm.depth + s.dd <= 4
+),
+q49 AS (
+    SELECT 'broadcast-to-file-write' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT k.call_id FROM flbm
+          JOIN bm_src sp ON sp.node_id = flbm.node_id
+          JOIN bm_sink k ON k.arg_id = flbm.sink_id) h
+    JOIN n ON n.node_id = h.call_id
+),
+-- q50: intent-to-runtime-exec (android/Intents.scala:16-34) — getIntent in
+-- a manifest-exported activity reaching a Runtime.exec argument
+ia_exported AS (
+    SELECT DISTINCT regexp_replace(regexp_extract(t.el,
+             'android:name\\s*=\\s*"([^"]+)"', 1), '^\\.', '') AS cls_name
+    FROM n cf, unnest(regexp_extract_all(cf.code, '<activity\\b[^>]*>', 0))
+         AS t(el)
+    WHERE cf.kind = 'CONFIG_FILE'
+      AND regexp_matches(cf.name, '.*AndroidManifest\\.xml$')
+      AND regexp_matches(t.el, 'android:exported\\s*=\\s*"true"')
+),
+ia_src AS (
+    SELECT c.node_id FROM n c
+    JOIN e a ON a.kind = 'AST' AND a.dst = c.method_id
+    JOIN n td ON td.node_id = a.src AND td.kind = 'TYPE_DECL'
+    JOIN ia_exported x ON x.cls_name = td.name
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^getIntent$')
+),
+ia_sink AS (
+    SELECT a.call_id, a.arg_id
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '^(java\\.lang\\.)?Runtime\\.exec$')
+),
+flia AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM ia_sink
+    UNION
+    SELECT s.prev, flia.sink_id, flia.depth + s.dd
+    FROM flia JOIN stepe s ON s.node_id = flia.node_id
+    WHERE flia.depth + s.dd <= 4
+),
+q50 AS (
+    SELECT 'intent-to-runtime-exec' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT k.call_id FROM flia
+          JOIN ia_src sp ON sp.node_id = flia.node_id
+          JOIN ia_sink k ON k.arg_id = flia.sink_id) h
+    JOIN n ON n.node_id = h.call_id
+),
+-- q51: external-storage-to-dex-classloader (android/ExternalStorage.scala:
+-- 17-47) — three chained flows gated on the manifest permission
+xd_perm AS (
+    SELECT DISTINCT 1 AS one FROM n
+    WHERE kind = 'CONFIG_FILE'
+      AND regexp_matches(name, '.*AndroidManifest\\.xml$')
+      AND contains(code, 'android.permission.READ_EXTERNAL_STORAGE')
+),
+xd_ext AS (
+    SELECT c.node_id FROM n c CROSS JOIN xd_perm
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.name, '^getExternalStorage(Public)?Director(y|ies)$')
+),
+xd_dex AS (
+    SELECT a.call_id, a.arg_id
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '(^|\\.)DexClassLoader\\.<init>')
+      AND a.a_index = 1
+),
+flxd1 AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM xd_dex
+    UNION
+    SELECT s.prev, flxd1.sink_id, flxd1.depth + s.dd
+    FROM flxd1 JOIN stepe s ON s.node_id = flxd1.node_id
+    WHERE flxd1.depth + s.dd <= 4
+),
+xd_tainted_init AS (
+    SELECT DISTINCT d.call_id AS node_id FROM flxd1
+    JOIN xd_ext sp ON sp.node_id = flxd1.node_id
+    JOIN xd_dex d ON d.arg_id = flxd1.sink_id
+),
+-- receiver use is modeled at the call node: loadClass calls are the sinks
+xd_lc AS (
+    SELECT c.node_id AS call_id
+    FROM n c
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^loadClass$')
+),
+flxd2 AS (
+    SELECT call_id AS node_id, call_id AS sink_id, 0 AS depth FROM xd_lc
+    UNION
+    SELECT s.prev, flxd2.sink_id, flxd2.depth + s.dd
+    FROM flxd2 JOIN stepe s ON s.node_id = flxd2.node_id
+    WHERE flxd2.depth + s.dd <= 4
+),
+xd_tainted_load AS (
+    SELECT DISTINCT flxd2.sink_id AS node_id FROM flxd2
+    JOIN xd_tainted_init ti ON ti.node_id = flxd2.node_id
+),
+xd_inv AS (
+    SELECT a.call_id, a.arg_id
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '(^|\\.)Method\\.invoke$')
+      AND a.a_index = 1
+),
+flxd3 AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM xd_inv
+    UNION
+    SELECT s.prev, flxd3.sink_id, flxd3.depth + s.dd
+    FROM flxd3 JOIN stepe s ON s.node_id = flxd3.node_id
+    WHERE flxd3.depth + s.dd <= 4
+),
+q51 AS (
+    SELECT 'external-storage-to-dex-classloader' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (SELECT DISTINCT i.call_id FROM flxd3
+          JOIN xd_tainted_load tl ON tl.node_id = flxd3.node_id
+          JOIN xd_inv i ON i.arg_id = flxd3.sink_id) h
+    JOIN n ON n.node_id = h.call_id
+),
+-- q52: insecure-load-url-to-exec (android/JavaScriptInterface.scala:18-50)
+wv_clear AS (
+    SELECT DISTINCT 1 AS one FROM n
+    WHERE kind = 'CONFIG_FILE'
+      AND regexp_matches(name, '.*AndroidManifest\\.xml$')
+      AND regexp_matches(code, 'android:usesCleartextTraffic\\s*=\\s*"true"')
+),
+wv_js_on AS (
+    SELECT DISTINCT c.method_id AS m_id FROM n c
+    JOIN sargs a ON a.call_id = c.node_id AND a.a_kind = 'LITERAL'
+         AND a.a_code IN ('true', '1')
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^setJavaScriptEnabled$')
+),
+wv_http AS (
+    SELECT node_id FROM n
+    WHERE kind = 'LITERAL'
+      AND starts_with(regexp_replace(code, '^["'']', ''), 'http:')
+),
+wv_lu AS (
+    SELECT c.method_id AS m_id, a.arg_id
+    FROM n c JOIN sargs a ON a.call_id = c.node_id
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^loadUrl$')
+),
+flwv1 AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM wv_lu
+    UNION
+    SELECT s.prev, flwv1.sink_id, flwv1.depth + s.dd
+    FROM flwv1 JOIN stepe s ON s.node_id = flwv1.node_id
+    WHERE flwv1.depth + s.dd <= 4
+),
+wv_insec_m AS (
+    SELECT DISTINCT lu.m_id FROM flwv1
+    JOIN wv_http h ON h.node_id = flwv1.node_id
+    JOIN wv_lu lu ON lu.arg_id = flwv1.sink_id
+    JOIN wv_js_on j ON j.m_id = lu.m_id
+),
+wv_types AS (
+    SELECT DISTINCT d.decl_type AS td_name
+    FROM n c
+    JOIN wv_insec_m m ON m.m_id = c.method_id
+    JOIN sargs a ON a.call_id = c.node_id AND a.a_index = 1
+    JOIN n i ON i.node_id = a.arg_id AND i.kind = 'IDENTIFIER'
+    JOIN declt d ON d.method_id = i.method_id AND d.name = i.name
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.name, '^addJavascriptInterface$')
+),
+wv_exposed AS (
+    SELECT p.node_id FROM n p
+    JOIN n an ON an.kind = 'ANNOTATION' AND an.method_id = p.method_id
+         AND regexp_matches(an.name, '(^|\\.)JavascriptInterface$')
+    JOIN e a ON a.kind = 'AST' AND a.dst = p.method_id
+    JOIN n td ON td.node_id = a.src AND td.kind = 'TYPE_DECL'
+    JOIN wv_types t ON t.td_name = td.name
+    WHERE p.kind = 'METHOD_PARAMETER_IN'
+),
+wv_exec AS (
+    SELECT a.call_id, a.arg_id
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL'
+      AND regexp_matches(c.full_name, '^(java\\.lang\\.)?Runtime\\.exec$')
+),
+flwv2 AS (
+    SELECT arg_id AS node_id, arg_id AS sink_id, 0 AS depth FROM wv_exec
+    UNION
+    SELECT s.prev, flwv2.sink_id, flwv2.depth + s.dd
+    FROM flwv2 JOIN stepe s ON s.node_id = flwv2.node_id
+    WHERE flwv2.depth + s.dd <= 4
+),
+q52 AS (
+    SELECT 'insecure-load-url-to-exec' AS name, n.doc_id,
+           n.code AS finding_code
+    FROM (SELECT DISTINCT x.call_id FROM flwv2
+          JOIN wv_exposed p ON p.node_id = flwv2.node_id
+          JOIN wv_exec x ON x.arg_id = flwv2.sink_id
+          CROSS JOIN wv_clear) h
+    JOIN n ON n.node_id = h.call_id
 )
 SELECT * FROM q1 UNION ALL SELECT * FROM q2
 UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
@@ -1087,7 +1629,14 @@ UNION ALL SELECT * FROM q29 UNION ALL SELECT * FROM q30
 UNION ALL SELECT * FROM q31 UNION ALL SELECT * FROM q32
 UNION ALL SELECT * FROM q33 UNION ALL SELECT * FROM q34
 UNION ALL SELECT * FROM q35 UNION ALL SELECT * FROM q36
-UNION ALL SELECT * FROM q37
+UNION ALL SELECT * FROM q37 UNION ALL SELECT * FROM q38
+UNION ALL SELECT * FROM q39 UNION ALL SELECT * FROM q40
+UNION ALL SELECT * FROM q41 UNION ALL SELECT * FROM q42
+UNION ALL SELECT * FROM q43 UNION ALL SELECT * FROM q44
+UNION ALL SELECT * FROM q45 UNION ALL SELECT * FROM q46
+UNION ALL SELECT * FROM q47 UNION ALL SELECT * FROM q48
+UNION ALL SELECT * FROM q49 UNION ALL SELECT * FROM q50
+UNION ALL SELECT * FROM q51 UNION ALL SELECT * FROM q52
 """
 
 ORACLES = {

@@ -96,6 +96,26 @@ class Cpg:
             df = df.filter(F.col("full_name").rlike(full_name))
         return CpgQuery(self, df)
 
+    def flow(self, sinks: DataFrame, sources: DataFrame,
+             max_call_depth: int | None = None) -> DataFrame:
+        """Shared reachableBy over this graph: (source_id, sink_id) pairs.
+
+        Routes through ONE lazily-built :class:`joern_spark.dataflow.
+        FlowEngine` cached on the instance, so a bundle of scan queries
+        reuses the backward relations (and, within budget, a driver-side
+        path cache) instead of re-running the distributed frontier loop
+        per query — the reference's ``shareCacheBetweenTasks``.
+        """
+        from joern_spark.dataflow import MAX_CALL_DEPTH, FlowEngine
+
+        eng = self.__dict__.get("_flow_engine")
+        if eng is None:
+            eng = FlowEngine(self.nodes, self.edges)
+            self.__dict__["_flow_engine"] = eng
+        if max_call_depth is None:
+            max_call_depth = MAX_CALL_DEPTH
+        return eng.flow(sinks, sources, max_call_depth)
+
     def config_file(self, name: str | None = None) -> "CpgQuery":
         """CONFIG_FILE starter (NodeTypeStarters.configFile)."""
         return self._scan("CONFIG_FILE", name)

@@ -22,7 +22,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dataflow import reachable_by
+
 from .query import Cpg
 from .query.dsl import ARITHMETIC_OPS, ARRAY_ACCESS_OPS, ASSIGNMENT_OPS
 
@@ -108,7 +108,7 @@ def _literal_argument_to_risky_sink(cpg: Cpg) -> DataFrame:
     (format-string family; uses the reachableBy engine)."""
     sinks = cpg.call("^(printf|sprintf|fprintf)$").argument().ids()
     sources = cpg.literal().ids()
-    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    hits = cpg.flow(sinks, sources)
     return hits.select(F.col("sink_id").alias("node_id")).distinct()
 
 
@@ -240,7 +240,7 @@ def _unsafe_hash_algo(cpg: Cpg) -> DataFrame:
             r"^(java\.security\.)?MessageDigest\.getInstance")
     ).select(F.col("node_id").alias("method_id"))
     sinks = cpg.parameter().to_df().join(digest, "method_id").select("node_id")
-    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    hits = cpg.flow(sinks, sources)
     return hits.select(F.col("source_id").alias("node_id")).distinct()
 
 
@@ -257,7 +257,7 @@ def _low_iteration_pbe_key(cpg: Cpg, n: int = 1000) -> DataFrame:
             r"^(javax\.crypto\.spec\.)?PBEKeySpec\.<init>")
     ).select(F.col("node_id").alias("method_id"))
     sinks = cpg.parameter().to_df().join(pbe, "method_id").select("node_id")
-    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    hits = cpg.flow(sinks, sources)
     return hits.select(F.col("source_id").alias("node_id")).distinct()
 
 
@@ -559,7 +559,7 @@ def _sql_injection(cpg: Cpg) -> DataFrame:
         .withColumnRenamed("node_id", "method_id")
     sinks = cpg.parameter().order(1).to_df().join(query_methods, "method_id") \
         .select("node_id")
-    hits = reachable_by(cpg.nodes, cpg.edges, sinks, sources)
+    hits = cpg.flow(sinks, sources)
     return hits.select(F.col("sink_id").alias("node_id")).distinct()
 
 
@@ -712,8 +712,7 @@ def _xss_servlet(cpg: Cpg) -> DataFrame:
         & F.col("full_name").rlike(
             r"^(javax\.servlet\.http\.)?HttpServletRequest\.getParameter")
     ).select("node_id")
-    flows = reachable_by(cpg.nodes, cpg.edges,
-                         sinks=a1.select(F.col("a1_id").alias("node_id")),
+    flows = cpg.flow(sinks=a1.select(F.col("a1_id").alias("node_id")),
                          sources=getp)
     return a1.join(flows, a1["a1_id"] == flows["sink_id"]) \
         .select(F.col("call_id").alias("node_id")).distinct()
@@ -787,9 +786,7 @@ def _malloc_memcpy_int_overflow(cpg: Cpg) -> DataFrame:
         .select("mem_id", "a1_id", "t_id").localCheckpoint(eager=True)
     # `inAssignment.target` is enforced structurally above; reachableBy src
     # becomes: the memcpy dst argument is reached backward from that target
-    flows = reachable_by(
-        cpg.nodes, cpg.edges,
-        sinks=cand.select(F.col("a1_id").alias("node_id")).distinct(),
+    flows = cpg.flow(sinks=cand.select(F.col("a1_id").alias("node_id")).distinct(),
         sources=cand.select(F.col("t_id").alias("node_id")).distinct())
     hit = cand.join(flows, (flows["sink_id"] == cand["a1_id"])
                     & (flows["source_id"] == cand["t_id"]))
@@ -824,8 +821,7 @@ def _strncpy_no_null_term(cpg: Cpg) -> DataFrame:
                       F.col("a_code").alias("src_code")), "call_id")
         .select("src_id", "src_code")
     )
-    flows = reachable_by(cpg.nodes, cpg.edges,
-                         sinks=sn.select(F.col("dst_id").alias("node_id")),
+    flows = cpg.flow(sinks=sn.select(F.col("dst_id").alias("node_id")),
                          sources=msize.select(F.col("src_id").alias("node_id")))
     hit = (
         sn.join(flows, flows["sink_id"] == sn["dst_id"])
@@ -961,6 +957,543 @@ def _constant_array_access_no_check(cpg: Cpg) -> DataFrame:
     return fired.select(F.col("acc_id").alias("node_id")).distinct()
 
 
+def _call_to_strcpy_family_loose(cpg: Cpg) -> DataFrame:
+    """ghidra/DangerousFunctions.scala:13-31 strcpyUsed: the binary pack's
+    looser spelling — UNanchored case-insensitive method-name regex
+    (``cpg.method("(?i)(strcpy|strncpy)").callIn``), vs the c pack's anchored
+    ``^(strcpy|strncpy)$``; name-anchoring on the CALL node is equivalent
+    (see module docstring)."""
+    return cpg.call().name("(?i)(strcpy|strncpy)").ids()
+
+
+def _getenv_to_strcpy(cpg: Cpg) -> DataFrame:
+    """ghidra/UserInputIntoDangerousFunctions.scala:21-33 getenvToStrcpy:
+    source = ``cpg.call.methodFullName("getenv").cfgNext.isCall.argument(2)``
+    (the RHS slot of the assignment that the getenv call flows into — its CFG
+    successor under operand-first ordering); sink = strcpy's source-buffer
+    slot. The reference sinks on the external stub's ``parameter.index(2)``;
+    we mark the call-site argument one interprocedural hop earlier — stub
+    parameters carry no doc_id, and findings must resolve to a document."""
+    args = _args(cpg)
+    cfg = cpg.edges.filter(F.col("kind") == "CFG").select(
+        F.col("src").alias("g_id"), F.col("dst").alias("nxt_id"))
+    getenvs = cpg.call("^getenv$").ids().withColumnRenamed("node_id", "g_id")
+    nxt_calls = cpg.nodes.filter(F.col("kind") == "CALL").select(
+        F.col("node_id").alias("nxt_id"))
+    sources = (
+        getenvs.join(cfg, "g_id").join(nxt_calls, "nxt_id")
+        .join(args.filter(F.col("argument_index") == 2)
+              .select(F.col("call_id").alias("nxt_id"), "arg_id"), "nxt_id")
+        .select(F.col("arg_id").alias("node_id")).distinct()
+    )
+    sinks = (
+        cpg.call("^strcpy$").ids().withColumnRenamed("node_id", "call_id")
+        .join(args.filter(F.col("argument_index") == 2), "call_id")
+        .select(F.col("arg_id").alias("node_id")).distinct()
+    )
+    hits = cpg.flow(sinks, sources)
+    return hits.select(F.col("sink_id").alias("node_id")).distinct()
+
+
+def _php_request_sources(cpg: Cpg) -> DataFrame:
+    """php pack shared source: arguments of assignments whose code mentions a
+    PHP superglobal (php/SQLInjection.scala:31-33 — ``$_REQUEST["foo"]``
+    et al. surface as identifiers/index accesses at the moment)."""
+    asn = cpg.nodes.filter(F.col("name").isin(ASSIGNMENT_OPS)).select(
+        F.col("node_id").alias("call_id"))
+    return (
+        _args(cpg).join(asn, "call_id")
+        .filter(F.col("a_code").rlike(".*_(REQUEST|GET|POST).*"))
+        .select(F.col("arg_id").alias("node_id")).distinct()
+    )
+
+
+def _php_sql_injection(cpg: Cpg) -> DataFrame:
+    """php/SQLInjection.scala:15-38: a superglobal-tainted assignment operand
+    reaching an argument of a ``query`` call that has a receiver."""
+    recv = cpg.edges.filter(F.col("kind") == "RECEIVER").select(
+        F.col("src").alias("call_id")).distinct()
+    sinks = (
+        cpg.call("^query$").ids().withColumnRenamed("node_id", "call_id")
+        .join(recv, "call_id").join(_args(cpg), "call_id")
+        .select(F.col("arg_id").alias("node_id")).distinct()
+    )
+    hits = cpg.flow(sinks, _php_request_sources(cpg))
+    return hits.select(F.col("sink_id").alias("node_id")).distinct()
+
+
+def _php_shell_exec(cpg: Cpg) -> DataFrame:
+    """php/ShellExec.scala:15-38: the same superglobal source reaching any
+    argument of a ``shell_exec`` call."""
+    sinks = (
+        cpg.call("^shell_exec$").ids().withColumnRenamed("node_id", "call_id")
+        .join(_args(cpg), "call_id")
+        .select(F.col("arg_id").alias("node_id")).distinct()
+    )
+    hits = cpg.flow(sinks, _php_request_sources(cpg))
+    return hits.select(F.col("sink_id").alias("node_id")).distinct()
+
+
+def _root_detection_file_checks(cpg: Cpg) -> DataFrame:
+    """android/RootDetection.scala:16-33 rootDetectionViaFileChecks: a
+    path literal ending in a superuser-artifact suffix reaching an
+    ``exists()`` call (the reference sinks on argument(0), the receiver; the
+    reaching-def pass models receiver use at the call node, so the call node
+    is the equivalent sink), reported as the enclosing method, kept only
+    when that method itself has a caller."""
+    lits = cpg.nodes.filter(
+        (F.col("kind") == "LITERAL") & F.col("code").contains("/")
+    ).withColumn("bare", F.regexp_replace(F.col("code"), "[\"']+$", "")) \
+        .filter(F.col("bare").rlike("(Superuser\\.apk|superuser\\.apk|/su)$")) \
+        .select("node_id")
+    ex_calls = cpg.call("^exists$").to_df().select(
+        F.col("node_id").alias("call_id"), F.col("method_id").alias("m_id"))
+    sinks = ex_calls.select(F.col("call_id").alias("node_id")).distinct()
+    hits = cpg.flow(sinks, lits)
+    hit_methods = (
+        hits.select(F.col("sink_id").alias("call_id"))
+        .join(ex_calls, "call_id")
+        .select(F.col("m_id").alias("node_id")).distinct()
+    )
+    called = cpg.edges.filter(F.col("kind") == "CALL").select(
+        F.col("dst").alias("node_id")).distinct()
+    return hit_methods.join(called, "node_id")
+
+
+def _manifest_backup_enabled(cpg: Cpg) -> DataFrame:
+    """android/Misconfigurations.scala:13-90 manifestXmlBackupEnabled: an
+    AndroidManifest.xml whose <application> element sets
+    android:allowBackup="true". The reference parses the XML
+    (SecureXmlParsing); this sandbox has no XML parser on the executor path,
+    so the attribute scan is scoped to the <application ...> open tag by
+    regex — equivalent on well-formed manifests."""
+    cf = cpg.nodes.filter(
+        (F.col("kind") == "CONFIG_FILE")
+        & F.col("name").rlike(r".*AndroidManifest\.xml$"))
+    app_attrs = F.regexp_extract(F.col("code"), r"(?s)<application\b([^>]*)>", 1)
+    return cf.filter(app_attrs.rlike(r'android:allowBackup\s*=\s*"true"')) \
+        .select("node_id")
+
+
+def _tap_jacking(cpg: Cpg) -> DataFrame:
+    """android/Misconfigurations.scala:92-178 tapJacking: a build.gradle
+    declaring targetSdk below 23 (first SDK level that defaults
+    filterTouchesWhenObscured protection; regex kept verbatim)."""
+    cf = cpg.nodes.filter(
+        (F.col("kind") == "CONFIG_FILE")
+        & F.col("name").rlike(r".*build\.gradle$"))
+    lines = cf.select("node_id",
+                      F.explode(F.split(F.col("code"), "\n")).alias("ln"))
+    v = lines.withColumn("v", F.regexp_extract(
+        F.col("ln"), r"^[^t]+targetSdk[^0-9]+([0-9]+)", 1))
+    return v.filter((F.col("v") != "") & (F.col("v").cast("int") < 23)) \
+        .select("node_id").distinct()
+
+
+def _vuln_prng_android(cpg: Cpg) -> DataFrame:
+    """android/Misconfigurations.scala:180-227 vulnerablePRNGOnAndroidv16_18:
+    a build.gradle declaring minSdk in [16, 18] when the corpus shows PRNG
+    use — a default SecureRandom() constructor anywhere, or a ``".*PRNG.*"``
+    literal reaching a ``SecureRandom.getInstance`` call. The reference's
+    two-line range check drops its ``>= 16`` leg (an expression-statement
+    slip at Misconfigurations.scala:209-211); we implement the intended
+    closed range and note the deviation here. Finding = the config file."""
+    cf = cpg.nodes.filter(
+        (F.col("kind") == "CONFIG_FILE")
+        & F.col("name").rlike(r".*build\.gradle$"))
+    lines = cf.select("node_id",
+                      F.explode(F.split(F.col("code"), "\n")).alias("ln"))
+    v = lines.withColumn("v", F.regexp_extract(
+        F.col("ln"), r"^[^t]+minSdk[^0-9]+([0-9]+)", 1))
+    sats = v.filter((F.col("v") != "")
+                    & (F.col("v").cast("int") >= 16)
+                    & (F.col("v").cast("int") <= 18)) \
+        .select("node_id").distinct()
+    default_sr = cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("full_name").rlike(r"SecureRandom\.<init>")
+    ).join(_args(cpg).select(F.col("call_id").alias("node_id")).distinct(),
+           "node_id", "left_anti").select("node_id")
+    prng_lits = cpg.nodes.filter(
+        (F.col("kind") == "LITERAL") & F.col("code").rlike('".*PRNG.*"')
+    ).select("node_id")
+    gi_sinks = cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("code").rlike(r".*SecureRandom.getInstance.*")
+    ).select("node_id")
+    flows = cpg.flow(gi_sinks, prng_lits)
+    evidence = default_sr.select(F.lit(1).alias("one")).unionByName(
+        flows.select(F.lit(1).alias("one"))).limit(1)
+    return sats.join(evidence, F.lit(True)).select("node_id")
+
+
+def _manifest_exported_names(cpg: Cpg, tag: str) -> DataFrame:
+    """(name) of manifest components declared ``<tag ... android:exported=
+    "true">`` — the semanticcpg ``exportedAndroidActivityNames`` /
+    ``exportedBroadcastReceiverNames`` analog (AndroidAppManifest.scala),
+    regex-scoped to the element open tag (no executor-side XML parser;
+    leading ``.`` of relative component names stripped like the reference's
+    ``name.stripPrefix(pkg + ".")`` normalization)."""
+    cf = cpg.nodes.filter(
+        (F.col("kind") == "CONFIG_FILE")
+        & F.col("name").rlike(r".*AndroidManifest\.xml$"))
+    tags = cf.select(F.explode(F.regexp_extract_all(
+        F.col("code"), F.lit(f"(?s)<{tag}\\b[^>]*>"), 0)).alias("el"))
+    return (
+        tags.filter(F.col("el").rlike('android:exported\\s*=\\s*"true"'))
+        .select(F.regexp_replace(
+            F.regexp_extract(F.col("el"), 'android:name\\s*=\\s*"([^"]+)"', 1),
+            r"^\.", "").alias("cls_name"))
+        .filter(F.col("cls_name") != "").distinct()
+    )
+
+
+def _type_decl_methods(cpg: Cpg) -> DataFrame:
+    """(td_name, td_full, m_id): methods AST-owned by internal TYPE_DECLs."""
+    tds = cpg.nodes.filter((F.col("kind") == "TYPE_DECL")
+                           & ~F.col("is_external")).select(
+        F.col("node_id").alias("td_id"), F.col("name").alias("td_name"),
+        F.col("full_name").alias("td_full"))
+    ast = cpg.edges.filter(F.col("kind") == "AST").select(
+        F.col("src").alias("td_id"), F.col("dst").alias("m_id"))
+    meths = cpg.nodes.filter(F.col("kind") == "METHOD").select(
+        F.col("node_id").alias("m_id"))
+    return tds.join(ast, "td_id").join(meths, "m_id")
+
+
+def _intent_redirection(cpg: Cpg) -> DataFrame:
+    """android/UnprotectedAppParts.scala:16-33 intentRedirection: an
+    Intent-shaped ``getParcelableExtra`` result reaching an argument of a
+    ``startActivity`` call that no control structure guards
+    (``whereNot(_.controlledBy.astParent.isControlStructure)`` = no incoming
+    CDG edge from a control structure or one of its condition children).
+    Finding marks the getParcelableExtra call (the reference's return)."""
+    gpe = cpg.call("^getParcelableExtra$").code(".*Intent.*").ids()
+    sa = cpg.call("^startActivity$").ids().withColumnRenamed(
+        "node_id", "call_id")
+    cdg = cpg.edges.filter(F.col("kind") == "CDG").select(
+        F.col("src").alias("ctl_id"), F.col("dst").alias("call_id"))
+    cs = cpg.nodes.filter(F.col("kind") == "CONTROL_STRUCTURE").select(
+        F.col("node_id").alias("cs_id"))
+    ast_par = cpg.edges.filter(F.col("kind") == "AST").select(
+        F.col("dst").alias("ctl_id"), F.col("src").alias("p_id"))
+    controllers = cs.select(F.col("cs_id").alias("ctl_id")).unionByName(
+        ast_par.join(cs, ast_par["p_id"] == cs["cs_id"]).select("ctl_id"))
+    guarded = cdg.join(controllers, "ctl_id").select("call_id").distinct()
+    sinks = (
+        sa.join(guarded, "call_id", "left_anti")
+        .join(_args(cpg), "call_id")
+        .select(F.col("arg_id").alias("node_id")).distinct()
+    )
+    hits = cpg.flow(sinks, gpe)
+    return hits.select(F.col("source_id").alias("node_id")).distinct()
+
+
+def _unzip_directory_traversal(cpg: Cpg) -> DataFrame:
+    """kotlin/PathTraversals.scala:16-41 unzipDirectoryTraversal: a
+    ZipEntry/ArchiveEntry parameter that never flows into a
+    ``startsWith`` path check, reaching a ``FileOutputStream`` constructor
+    argument. Finding marks the constructor call."""
+    zip_params = cpg.parameter().to_df().filter(
+        F.col("type_full_name").rlike(r"(^|\.)(ArchiveEntry|ZipEntry)$")
+    ).select("node_id")
+    # the reference guards on argument(0) (the receiver); receiver use is
+    # modeled at the call node, so sink the guard flow there
+    sw_calls = cpg.call("^startsWith$").ids()
+    checked = cpg.flow(sw_calls, zip_params) \
+        .select(F.col("source_id").alias("node_id")).distinct()
+    unchecked = zip_params.join(checked, "node_id", "left_anti")
+    args = _args(cpg)
+    fos_args = (
+        cpg.nodes.filter(
+            (F.col("kind") == "CALL")
+            & F.col("full_name").rlike(r"(^|\.)FileOutputStream\.<init>"))
+        .select(F.col("node_id").alias("call_id"))
+        .join(args, "call_id")
+        .select("call_id", F.col("arg_id").alias("node_id"))
+    )
+    hits = cpg.flow(fos_args.select("node_id").distinct(), unchecked)
+    return (
+        hits.select(F.col("sink_id").alias("node_id"))
+        .join(fos_args, "node_id")
+        .select(F.col("call_id").alias("node_id")).distinct()
+    )
+
+
+def _nop_trust_manager(cpg: Cpg) -> DataFrame:
+    """kotlin/NetworkCommunication.scala:20-46 nopTrustManagerUsed: an
+    internal X509TrustManager subtype whose checkClientTrusted or
+    checkServerTrusted body is empty, allocated and flowing into the trust-
+    manager slot (argument 2) of an ``SSLContext.init`` call. Finding marks
+    the init call."""
+    nodes = cpg.nodes
+    inh = cpg.edges.filter(F.col("kind") == "INHERITS_FROM").select(
+        F.col("src").alias("td_id"), F.col("dst").alias("sup_id"))
+    sup = nodes.filter(
+        F.col("kind").isin("TYPE", "TYPE_DECL")
+        & F.col("full_name").rlike(r"(^|\.)X509TrustManager$")
+    ).select(F.col("node_id").alias("sup_id"))
+    tm_tds = (
+        nodes.filter((F.col("kind") == "TYPE_DECL") & ~F.col("is_external"))
+        .select(F.col("node_id").alias("td_id"),
+                F.col("name").alias("td_name"),
+                F.col("full_name").alias("td_full"))
+        .join(inh, "td_id").join(sup, "sup_id")
+        .select("td_id", "td_name", "td_full").distinct()
+    )
+    ast = cpg.edges.filter(F.col("kind") == "AST").select(
+        F.col("src").alias("p_id"), F.col("dst").alias("c_id"))
+    checks = nodes.filter(
+        (F.col("kind") == "METHOD")
+        & F.col("name").isin("checkClientTrusted", "checkServerTrusted")
+    ).select(F.col("node_id").alias("m_id"))
+    blocks = nodes.filter(F.col("kind") == "BLOCK").select(
+        F.col("node_id").alias("b_id"), F.col("method_id").alias("m_id"))
+    nonempty = ast.join(blocks, ast["p_id"] == blocks["b_id"]) \
+        .select("b_id").distinct()
+    empty_check_methods = (
+        checks.join(blocks, "m_id")
+        .join(nonempty, "b_id", "left_anti")
+        .select("m_id").distinct()
+    )
+    nop_tds = (
+        tm_tds.join(ast, tm_tds["td_id"] == ast["p_id"])
+        .join(empty_check_methods, ast["c_id"] == empty_check_methods["m_id"])
+        .select("td_name", "td_full").distinct()
+    )
+    allocs = nodes.filter(
+        (F.col("kind") == "CALL") & F.col("full_name").rlike(r"\.<init>$")
+    ).join(nop_tds, (F.col("type_full_name") == F.col("td_name"))
+           | (F.col("type_full_name") == F.col("td_full"))) \
+        .select("node_id")
+    args = _args(cpg)
+    init_args = (
+        nodes.filter((F.col("kind") == "CALL")
+                     & F.col("full_name").rlike(r"(^|\.)SSLContext\.init$"))
+        .select(F.col("node_id").alias("call_id"))
+        .join(args.filter(F.col("argument_index") == 2), "call_id")
+        .select("call_id", F.col("arg_id").alias("node_id"))
+    )
+    hits = cpg.flow(init_args.select("node_id").distinct(), allocs)
+    return (
+        hits.select(F.col("sink_id").alias("node_id"))
+        .join(init_args, "node_id")
+        .select(F.col("call_id").alias("node_id")).distinct()
+    )
+
+
+def _broadcast_to_file_write(cpg: Cpg) -> DataFrame:
+    """android/ArbitraryFileWrites.scala:18-37 broadcastToFileWrite: the
+    intent parameter (index 2) of a manifest-exported broadcast receiver's
+    ``onReceive`` reaching a ``FileOutputStream.write`` argument. The
+    reference checks the write's argument is a FileOutputStream-typed
+    identifier; the mini-frontends resolve that declared type into the
+    call's full name, so the receiver-typed full-name match is equivalent."""
+    exported = _manifest_exported_names(cpg, "receiver")
+    td_m = _type_decl_methods(cpg)
+    on_receive = cpg.nodes.filter(
+        (F.col("kind") == "METHOD") & (F.col("name") == "onReceive")
+    ).select(F.col("node_id").alias("m_id"))
+    exposed_m = (
+        td_m.join(F.broadcast(exported),
+                  td_m["td_name"] == exported["cls_name"])
+        .join(on_receive, "m_id").select("m_id")
+    )
+    sources = (
+        cpg.parameter().order(2).to_df()
+        .join(exposed_m, F.col("method_id") == exposed_m["m_id"])
+        .select("node_id").distinct()
+    )
+    args = _args(cpg)
+    write_args = (
+        cpg.nodes.filter(
+            (F.col("kind") == "CALL")
+            & F.col("full_name").rlike(r"(^|\.)FileOutputStream\.write$"))
+        .select(F.col("node_id").alias("call_id"))
+        .join(args, "call_id")
+        .select("call_id", F.col("arg_id").alias("node_id"))
+    )
+    hits = cpg.flow(write_args.select("node_id").distinct(), sources)
+    return (
+        hits.select(F.col("sink_id").alias("node_id"))
+        .join(write_args, "node_id")
+        .select(F.col("call_id").alias("node_id")).distinct()
+    )
+
+
+def _intent_to_runtime_exec(cpg: Cpg) -> DataFrame:
+    """android/Intents.scala:16-34 intentToRuntimeExec: a ``getIntent``
+    result inside a manifest-exported activity reaching a ``Runtime.exec``
+    argument. Finding marks the exec call."""
+    exported = _manifest_exported_names(cpg, "activity")
+    td_m = _type_decl_methods(cpg)
+    exp_methods = td_m.join(
+        F.broadcast(exported), td_m["td_name"] == exported["cls_name"]
+    ).select("m_id")
+    sources = (
+        cpg.call("^getIntent$").to_df()
+        .join(exp_methods, F.col("method_id") == exp_methods["m_id"])
+        .select("node_id").distinct()
+    )
+    args = _args(cpg)
+    exec_args = (
+        cpg.nodes.filter(
+            (F.col("kind") == "CALL")
+            & F.col("full_name").rlike(r"^(java\.lang\.)?Runtime\.exec$"))
+        .select(F.col("node_id").alias("call_id"))
+        .join(args, "call_id")
+        .select("call_id", F.col("arg_id").alias("node_id"))
+    )
+    hits = cpg.flow(exec_args.select("node_id").distinct(), sources)
+    return (
+        hits.select(F.col("sink_id").alias("node_id"))
+        .join(exec_args, "node_id")
+        .select(F.col("call_id").alias("node_id")).distinct()
+    )
+
+
+def _external_storage_to_dex(cpg: Cpg) -> DataFrame:
+    """android/ExternalStorage.scala:17-47 externalStorageToDexClassLoader:
+    with READ_EXTERNAL_STORAGE granted in the manifest, an external-storage
+    directory read flowing into a DexClassLoader constructor, whose loader's
+    ``loadClass`` result reaches a reflective ``Method.invoke`` argument.
+    Finding marks the invoke call."""
+    perm = cpg.nodes.filter(
+        (F.col("kind") == "CONFIG_FILE")
+        & F.col("name").rlike(r".*AndroidManifest\.xml$")
+        & F.col("code").contains("android.permission.READ_EXTERNAL_STORAGE")
+    ).select(F.lit(1).alias("one")).limit(1)
+    ext = cpg.call("^getExternalStorage(Public)?Director(y|ies)$").ids() \
+        .join(perm, F.lit(True)).select("node_id")
+    args = _args(cpg)
+    dex_arg1 = (
+        cpg.nodes.filter(
+            (F.col("kind") == "CALL")
+            & F.col("full_name").rlike(r"(^|\.)DexClassLoader\.<init>"))
+        .select(F.col("node_id").alias("call_id"))
+        .join(args.filter(F.col("argument_index") == 1), "call_id")
+        .select("call_id", F.col("arg_id").alias("node_id"))
+    )
+    ext_hits = cpg.flow(dex_arg1.select("node_id").distinct(), ext)
+    tainted_inits = (
+        ext_hits.select(F.col("sink_id").alias("node_id"))
+        .join(dex_arg1, "node_id")
+        .select(F.col("call_id").alias("node_id")).distinct()
+    )
+    # loader identity flows through the loadClass receiver; receiver use is
+    # modeled at the call node, so the loadClass call is the sink AND the
+    # next stage's source
+    lc_calls = cpg.call("^loadClass$").ids()
+    lc_hits = cpg.flow(lc_calls, tainted_inits)
+    tainted_loads = lc_hits.select(F.col("sink_id").alias("node_id")).distinct()
+    inv_arg1 = (
+        cpg.nodes.filter(
+            (F.col("kind") == "CALL")
+            & F.col("full_name").rlike(r"(^|\.)Method\.invoke$"))
+        .select(F.col("node_id").alias("call_id"))
+        .join(args.filter(F.col("argument_index") == 1), "call_id")
+        .select("call_id", F.col("arg_id").alias("node_id"))
+    )
+    inv_hits = cpg.flow(inv_arg1.select("node_id").distinct(),
+                            tainted_loads)
+    return (
+        inv_hits.select(F.col("sink_id").alias("node_id"))
+        .join(inv_arg1, "node_id")
+        .select(F.col("call_id").alias("node_id")).distinct()
+    )
+
+
+def _insecure_load_url_to_exec(cpg: Cpg) -> DataFrame:
+    """android/JavaScriptInterface.scala:18-50 insecureLoadUrlToExec: with
+    cleartext traffic allowed in the manifest, a WebView method that enables
+    JS and loads an ``http:`` URL exposes its ``addJavascriptInterface``
+    object; parameters of that object's @JavascriptInterface methods
+    reaching a ``Runtime.exec`` argument fire. Finding marks the exec call.
+    WebView identity is scoped per enclosing method (the reference chains
+    receiver steps through ``cpg.webView``; the mini-frontends' one-webview-
+    per-method fixtures make method scoping equivalent)."""
+    nodes = cpg.nodes
+    cleartext = nodes.filter(
+        (F.col("kind") == "CONFIG_FILE")
+        & F.col("name").rlike(r".*AndroidManifest\.xml$")
+        & F.col("code").rlike('android:usesCleartextTraffic\\s*=\\s*"true"')
+    ).select(F.lit(1).alias("one")).limit(1)
+    args = _args(cpg)
+    js_on = (
+        cpg.call("^setJavaScriptEnabled$").to_df()
+        .select(F.col("node_id").alias("call_id"),
+                F.col("method_id").alias("m_id"))
+        .join(args.filter((F.col("a_kind") == "LITERAL")
+                          & (F.col("a_code").isin("true", "1"))), "call_id")
+        .select("m_id").distinct()
+    )
+    http_lits = nodes.filter(
+        (F.col("kind") == "LITERAL")
+        & F.regexp_replace(F.col("code"), "^[\"']", "").startswith("http:")
+    ).select("node_id")
+    lu_args = (
+        cpg.call("^loadUrl$").to_df()
+        .select(F.col("node_id").alias("call_id"),
+                F.col("method_id").alias("m_id"))
+        .join(args, "call_id")
+        .select("m_id", F.col("arg_id").alias("node_id"))
+    )
+    lu_hits = cpg.flow(lu_args.select("node_id").distinct(), http_lits)
+    insecure_m = (
+        lu_hits.select(F.col("sink_id").alias("node_id"))
+        .join(lu_args, "node_id").join(js_on, "m_id")
+        .select("m_id").distinct()
+    )
+    aji_obj = (
+        cpg.call("^addJavascriptInterface$").to_df()
+        .select(F.col("node_id").alias("call_id"),
+                F.col("method_id").alias("m_id"))
+        .join(insecure_m, "m_id")
+        .join(args.filter(F.col("argument_index") == 1), "call_id")
+        .select(F.col("arg_id").alias("obj_id"))
+    )
+    # the interface object's type: declared type of the identifier argument
+    decl = _decl_types(cpg)
+    obj_nodes = nodes.filter(F.col("kind") == "IDENTIFIER").select(
+        F.col("node_id").alias("obj_id"), F.col("name").alias("o_name"),
+        F.col("method_id").alias("o_mid"))
+    if_types = (
+        aji_obj.join(obj_nodes, "obj_id")
+        .join(decl, (F.col("o_mid") == decl["method_id"])
+              & (F.col("o_name") == decl["name"]))
+        .select(F.col("decl_type").alias("td_name")).distinct()
+    )
+    td_m = _type_decl_methods(cpg)
+    anno = nodes.filter(
+        (F.col("kind") == "ANNOTATION")
+        & F.col("name").rlike(r"(^|\.)JavascriptInterface$")
+    ).select(F.col("method_id").alias("m_id")).distinct()
+    exposed_m = (
+        td_m.join(if_types, td_m["td_name"] == if_types["td_name"])
+        .join(anno, "m_id").select("m_id")
+    )
+    sources = (
+        cpg.parameter().to_df()
+        .join(exposed_m, F.col("method_id") == exposed_m["m_id"])
+        .select("node_id").distinct()
+    )
+    exec_args = (
+        nodes.filter(
+            (F.col("kind") == "CALL")
+            & F.col("full_name").rlike(r"^(java\.lang\.)?Runtime\.exec$"))
+        .select(F.col("node_id").alias("call_id"))
+        .join(args, "call_id")
+        .select("call_id", F.col("arg_id").alias("node_id"))
+    )
+    hits = cpg.flow(exec_args.select("node_id").distinct(), sources)
+    return (
+        hits.select(F.col("sink_id").alias("node_id"))
+        .join(exec_args, "node_id")
+        .join(cleartext, F.lit(True))
+        .select(F.col("call_id").alias("node_id")).distinct()
+    )
+
+
 DEFAULT_BUNDLE = [
     Query("malloc-without-free", "Allocation without matching free in method", 5.0,
           _malloc_to_free_missing),
@@ -1065,6 +1598,61 @@ DEFAULT_BUNDLE = [
     Query("fragment-injection",
           "Attackers can load fragments that should be private", 7.0,
           _fragment_injection),
+    # querydb/ghidra/DangerousFunctions.scala (score 4)
+    Query("call-to-strcpy-ghidra",
+          "Dangerous functions `strcpy` or `strncpy` used", 4.0,
+          _call_to_strcpy_family_loose),
+    # querydb/ghidra/UserInputIntoDangerousFunctions.scala (score 4)
+    Query("getenv-to-strcpy",
+          "`getenv` fn arguments used in strcpy source buffer", 4.0,
+          _getenv_to_strcpy),
+    # querydb/php/SQLInjection.scala (score 5)
+    Query("php-sql-injection",
+          "SQL injection: A parameter is used in an insecure database API "
+          "call.", 5.0, _php_sql_injection),
+    # querydb/php/ShellExec.scala (score 5)
+    Query("shell-exec",
+          "Shell exec: A parameter is used in an insecure `shell-exec` call.",
+          5.0, _php_shell_exec),
+    # querydb/android/RootDetection.scala (score 3)
+    Query("root-detection-via-file-checks",
+          "App attempts to detect rooting via file checks", 3.0,
+          _root_detection_file_checks),
+    # querydb/android/Misconfigurations.scala (scores 3 / 6 / 6)
+    Query("manifest-backup-enabled",
+          "Backup enabled in Android Manifest File", 3.0,
+          _manifest_backup_enabled),
+    Query("tap-jacking", "Tap Jacking", 6.0, _tap_jacking),
+    Query("vuln-prng-android-v16_18",
+          "Vulnerable PRNG on Android API level [16, 18]", 6.0,
+          _vuln_prng_android),
+    # querydb/android/UnprotectedAppParts.scala (score 4)
+    Query("intent-redirection", "Intent redirected without validation", 4.0,
+          _intent_redirection),
+    # querydb/kotlin/PathTraversals.scala (score 4)
+    Query("unzip-directory-traversal",
+          "Zip entries not checked before unzipping", 4.0,
+          _unzip_directory_traversal),
+    # querydb/kotlin/NetworkCommunication.scala (score 5)
+    Query("usage-of-nop-trust-manager",
+          "NOP trust manager used to initialize SSL context", 5.0,
+          _nop_trust_manager),
+    # querydb/android/ArbitraryFileWrites.scala (score 6)
+    Query("broadcast-to-file-write",
+          "Broadcast receiver data written to file without validation", 6.0,
+          _broadcast_to_file_write),
+    # querydb/android/Intents.scala (score 9)
+    Query("intent-to-runtime-exec",
+          "Exported activity intent data reaches Runtime.exec", 9.0,
+          _intent_to_runtime_exec),
+    # querydb/android/ExternalStorage.scala (score 9)
+    Query("external-storage-to-dex-classloader",
+          "Code loaded from external storage is reflectively invoked", 9.0,
+          _external_storage_to_dex),
+    # querydb/android/JavaScriptInterface.scala (score 9)
+    Query("insecure-load-url-to-exec",
+          "JavaScript bridge on a cleartext WebView reaches Runtime.exec",
+          9.0, _insecure_load_url_to_exec),
 ]
 
 

@@ -114,3 +114,14 @@ F25 = "fixtures/android/app/build.gradle"
 F26 = "fixtures/android/lib/build.gradle"
 F27 = "fixtures/java/Servlet.java"
 F28 = "fixtures/java/Trust.java"
+F30 = "fixtures/c/envcopy"
+F31 = "fixtures/js/phpish.js"
+F32 = "fixtures/java/RootCheck.java"
+F36 = "fixtures/java/Rng.java"
+F38 = "fixtures/java/FwdActivity.java"
+F39 = "fixtures/java/EvilReceiver.java"
+F40 = "fixtures/java/Dyn.java"
+F41 = "fixtures/java/WebHost.java"
+F42 = "fixtures/java/Unzip.java"
+F43 = "fixtures/java/Trustmgr.java"
+F44 = "fixtures/java/Redirector.java"

@@ -61,41 +61,55 @@ def test_bag_of_api_symbols(cpg):
     assert sum(f3[0]["values"]) == 2  # print_number(42) + printf(x)
 
 
-def test_scan_bundle(cpg):
+@pytest.fixture(scope="module")
+def scan_rows(cpg):
+    """ONE shared run_scan evaluation for every scan test in this module.
+
+    The bundle is deterministic over the fixture corpus, and a full
+    evaluation costs ~2 min (53 queries, 23 of them dataflow) — re-running
+    it per test multiplied that by 6 for no extra coverage."""
     findings = run_scan(cpg.nodes, cpg.edges).persist()
-    names = {r["name"] for r in findings.select("name").distinct().collect()}
-    # free_list frees its allocation; no malloc in fixtures → no leak finding
-    by_name = {
-        n: [r for r in findings.collect() if r["name"] == n] for n in names
-    }
+    rows = findings.collect()
+    return rows
+
+
+def _by_name(rows):
+    by = {}
+    for r in rows:
+        by.setdefault(r["name"], []).append((r["doc_id"], r["code"]))
+    return by
+
+
+def test_scan_bundle(scan_rows):
+    names = {r["name"] for r in scan_rows}
     # printf(x) and printf(buf)-style sinks exist; literals flow in F3
     assert "literal-to-format-sink" in names
     # MethodTest.staticMethod etc. are never called
     assert "uncalled-internal-method" in names
-    assert all(r["severity"] > 0 for r in findings.collect())
+    assert all(r["severity"] > 0 for r in scan_rows)
 
 
-def test_scan_finding_rows_resolve(cpg):
-    findings = run_scan(cpg.nodes, cpg.edges)
-    assert findings.filter(F.col("doc_id").isNull()).count() == 0
+def test_scan_finding_rows_resolve(scan_rows):
+    assert all(r["doc_id"] is not None for r in scan_rows)
 
 
-def test_querydb_ports(cpg):
+def test_querydb_ports(scan_rows):
     """The 18 querydb-ported queries against the F16/F17 scanner fixtures:
     exact (name → finding codes) expectations, positives AND negatives."""
-    findings = run_scan(cpg.nodes, cpg.edges).persist()
-    by_name = {}
-    for r in findings.collect():
-        by_name.setdefault(r["name"], []).append((r["doc_id"], r["code"]))
+    by_name = _by_name(scan_rows)
 
     sc = "fixtures/c/scanners"
     assert by_name["call-to-gets"] == [(sc, "gets(buf)")]
     assert by_name["call-to-scanf"] == [(sc, 'scanf("%s", buf)')]
     assert by_name["call-to-strcat"] == [(sc, "strcat(dst, src)")]
-    # the strcpy family regex also catches F29's three strncpy calls
+    # the strcpy family regex also catches F29's three strncpy calls and
+    # F30's two getenv-fixture strcpy calls
     nt = "fixtures/c/nullterm"
-    assert sorted(by_name["call-to-strcpy"]) == [
-        (nt, "strncpy(ptr, ntsrc, asize)")] * 3 + [(sc, "strcpy(dst, src)")]
+    ge = "fixtures/c/envcopy"
+    assert sorted(by_name["call-to-strcpy"]) == sorted(
+        [(nt, "strncpy(ptr, ntsrc, asize)")] * 3
+        + [(sc, "strcpy(dst, src)"), (ge, "strcpy(dst, p)"),
+           (ge, 'strcpy(dst2, "lit")')])
     assert by_name["call-to-strtok"] == [(sc, 'strtok(src, ",")')]
     assert by_name["call-to-getwd"] == [(sc, "getwd(buf)")]
     # 255 << val, val << val, val <<= 24 fire; u << 2 (unsigned) must not
@@ -126,18 +140,18 @@ def test_querydb_ports(cpg):
     assert sorted(c for _, c in by_name["file-operation-race"]) == [
         "chmod(rpath, 0)", 'rename(rpath, "/tmp/nx")']
     # java/DangerousFunctions: Runtime.exec through the decl-typed receiver
-    assert by_name["call-to-exec"] == [
-        ("fixtures/java/Injection.java", "rt.exec(cmd)")]
-    findings.unpersist()
+    # (the android-pack fixtures F38/F41 add three more Runtime.exec sites)
+    assert sorted(by_name["call-to-exec"]) == [
+        ("fixtures/java/FwdActivity.java", "rt.exec(ix)"),
+        ("fixtures/java/FwdActivity.java", "rt2.exec(iy)"),
+        ("fixtures/java/Injection.java", "rt.exec(cmd)"),
+        ("fixtures/java/WebHost.java", "rt.exec(cmd)")]
 
 
-def test_metrics_and_crypto_ports(cpg):
+def test_metrics_and_crypto_ports(scan_rows):
     """c/Metrics.scala and java/CryptographyMisuse.scala ports against the
     F19/F20 fixtures: exact expectations, positives AND negatives."""
-    findings = run_scan(cpg.nodes, cpg.edges).persist()
-    by_name = {}
-    for r in findings.collect():
-        by_name.setdefault(r["name"], []).append((r["doc_id"], r["code"]))
+    by_name = _by_name(scan_rows)
 
     mc, cj = "fixtures/c/metrics", "fixtures/java/Crypto.java"
     # 5 params fires; the 4-param twin must not (reference default n=4)
@@ -198,7 +212,78 @@ def test_metrics_and_crypto_ports(cpg):
     # +1-headroom malloc and the explicitly zero-terminated buffer must not
     assert by_name["strncpy-no-null-term"] == [
         ("fixtures/c/nullterm", "ptr")]
-    findings.unpersist()
+
+
+def test_ghidra_php_android_ports(scan_rows):
+    """ghidra/php/android querydb ports against the F30-F36 fixtures:
+    exact expectations, positives AND negatives."""
+    by_name = _by_name(scan_rows)
+
+    ge = "fixtures/c/envcopy"
+    # ghidra's unanchored strcpy-family regex: every strcpy/strncpy site
+    assert sorted(by_name["call-to-strcpy-ghidra"]) == sorted(
+        [("fixtures/c/nullterm", "strncpy(ptr, ntsrc, asize)")] * 3
+        + [("fixtures/c/scanners", "strcpy(dst, src)"),
+           (ge, "strcpy(dst, p)"), (ge, 'strcpy(dst2, "lit")')])
+    # getenv result into strcpy source buffer fires; the literal twin not
+    assert by_name["getenv-to-strcpy"] == [(ge, "p")]
+    # php pack: _REQUEST subscript into query()/shell_exec() args fires;
+    # the constant twin must not
+    ph = "fixtures/js/phpish.js"
+    assert by_name["php-sql-injection"] == [(ph, "q")]
+    assert by_name["shell-exec"] == [(ph, "q")]
+    # root detection: called isRooted fires; caller-less twin must not
+    assert by_name["root-detection-via-file-checks"] == [
+        ("fixtures/java/RootCheck.java", "boolean isRooted()")]
+    # manifest allowBackup="true" fires; "false" must not
+    assert [d for d, _ in by_name["manifest-backup-enabled"]] == [
+        "fixtures/android/backup/AndroidManifest.xml"]
+    # tap-jacking: targetSdk 17 and 21 fire; 33 must not — and 21 >= 19
+    # keeps fragment-injection on the app gradle only
+    assert sorted(d for d, _ in by_name["tap-jacking"]) == [
+        "fixtures/android/app/build.gradle",
+        "fixtures/android/tap/build.gradle"]
+    assert [d for d, _ in by_name["fragment-injection"]] == [
+        "fixtures/android/app/build.gradle"]
+    # vuln-prng: minSdk 17 gradle fires because the PRNG literal reaches
+    # SecureRandom.getInstance in Rng.java
+    assert [d for d, _ in by_name["vuln-prng-android-v16_18"]] == [
+        "fixtures/android/tap/build.gradle"]
+
+
+def test_android_kotlin_dataflow_ports(scan_rows):
+    """The six android/kotlin dataflow scanners against the F37-F44
+    fixtures: exact expectations, positives AND negatives."""
+    by_name = _by_name(scan_rows)
+
+    # unguarded startActivity forward fires (finding = the SOURCE call);
+    # the if-guarded twin must not
+    assert by_name["intent-redirection"] == [
+        ("fixtures/java/Redirector.java", 'theIntent.getParcelableExtra("k")')]
+    # unchecked ZipEntry param into FileOutputStream init fires; the
+    # startsWith-guarded twin must not
+    assert by_name["unzip-directory-traversal"] == [
+        ("fixtures/java/Unzip.java", "new FileOutputStream(fileForEntry)")]
+    # empty-check trust manager alloc into SSLContext.init fires; the
+    # validating twin must not
+    assert by_name["usage-of-nop-trust-manager"] == [
+        ("fixtures/java/Trustmgr.java", "ctx.init(null, tms, sr)")]
+    # exported receiver's intent param into FileOutputStream.write fires;
+    # the unexported twin must not
+    assert by_name["broadcast-to-file-write"] == [
+        ("fixtures/java/EvilReceiver.java", "fos.write(inx)")]
+    # exported activity's getIntent into Runtime.exec fires; the
+    # unexported twin must not
+    assert by_name["intent-to-runtime-exec"] == [
+        ("fixtures/java/FwdActivity.java", "rt.exec(ix)")]
+    # the external-storage → DexClassLoader → loadClass → invoke chain
+    # fires; the local-path loader twin must not
+    assert by_name["external-storage-to-dex-classloader"] == [
+        ("fixtures/java/Dyn.java", "m.invoke(k, a)")]
+    # the http-loading host's bridge param into Runtime.exec fires; the
+    # https host's bridge must not
+    assert by_name["insecure-load-url-to-exec"] == [
+        ("fixtures/java/WebHost.java", "rt.exec(cmd)")]
 
 
 def test_too_long_logic(cpg):

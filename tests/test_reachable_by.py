@@ -165,3 +165,36 @@ def test_realizable_paths_no_cross_caller_flow(two_caller_cpg):
     assert lits["2"] in heads, "realizable caller_b flow must survive"
     assert lits["1"] not in heads, \
         "unrealizable caller_a->id2->caller_b stitch must be filtered"
+
+
+def test_flow_engine_driver_matches_distributed(cpg, q):
+    """FlowEngine parity: the budget-hit driver BFS and the over-budget
+    distributed loop must return the exact same (source_id, sink_id) set
+    as a direct reachable_by call, including k-limit gating."""
+    from joern_spark.dataflow import FlowEngine
+
+    sinks = q.call().argument().ids()
+    sources = q.literal().ids()
+    want = {(r[0], r[1]) for r in
+            reachable_by(cpg.nodes, cpg.edges, sinks, sources).collect()}
+    assert want  # non-vacuous on the fixture corpus
+
+    driver_eng = FlowEngine(cpg.nodes, cpg.edges)  # fixture graph fits budget
+    got_driver = {(r[0], r[1])
+                  for r in driver_eng.flow(sinks, sources).collect()}
+    assert driver_eng.mode == "driver"
+    assert got_driver == want
+
+    dist_eng = FlowEngine(cpg.nodes, cpg.edges, budget=0)
+    got_dist = {(r[0], r[1]) for r in dist_eng.flow(sinks, sources).collect()}
+    assert dist_eng.mode == "distributed"
+    assert got_dist == want
+
+    # k-limit gating parity at depth 0 (no interprocedural hops at all)
+    want0 = {(r[0], r[1]) for r in
+             reachable_by(cpg.nodes, cpg.edges, sinks, sources,
+                          max_call_depth=0).collect()}
+    got0 = {(r[0], r[1])
+            for r in driver_eng.flow(sinks, sources, max_call_depth=0)
+            .collect()}
+    assert got0 == want0 and len(want0) < len(want)

@@ -27,6 +27,12 @@ FIXTURES = [
     "fixtures/java/Crypto.java", "fixtures/c/metrics", "fixtures/js/view.jsx",
     "fixtures/c/heap", "fixtures/c/lencheck", "fixtures/java/Net.java",
     "fixtures/java/Servlet.java", "fixtures/java/Trust.java",
+    "fixtures/c/envcopy", "fixtures/js/phpish.js",
+    "fixtures/java/RootCheck.java", "fixtures/java/Rng.java",
+    "fixtures/java/FwdActivity.java", "fixtures/java/EvilReceiver.java",
+    "fixtures/java/Dyn.java", "fixtures/java/WebHost.java",
+    "fixtures/java/Unzip.java", "fixtures/java/Trustmgr.java",
+    "fixtures/java/Redirector.java",
 ]
 
 
