@@ -563,6 +563,64 @@ F44_REDIRECT_JAVA = """class Redirector {
   }
 }"""
 
+F46_UAF_FIELD_C = """void field_free_bad(struct box *b) {
+  free(b->ptr);
+  if (cond) {
+    return;
+  }
+  b->ptr = mk();
+}
+void field_free_ok(struct box *c) {
+  free(c->ptr);
+  if (cond) {
+    c->ptr = 0;
+    return;
+  }
+  c->ptr = mk();
+}
+void field_free_whole(struct box *w) {
+  free(w->ptr);
+  free(w);
+}
+void ret_bad(struct box *r) {
+  char *x = mk();
+  r->foo = x;
+  free(x);
+}
+void ret_good(struct box *g) {
+  char *gx = mk();
+  char *gy = mk();
+  g->foo = gx;
+  free(gy);
+}
+void ret_reassigned(struct box *h) {
+  char *hx = mk();
+  h = other();
+  h->foo = hx;
+  free(hx);
+}"""
+
+F45_INJECT_PHP = """<?php
+require 'db_lib';
+class Dao {
+  public $conn;
+  public function query($q) {
+    echo $q, "run";
+    return $this->conn;
+  }
+}
+function handle($db) {
+  $cmd = $_REQUEST['cmd'];
+  $db->query($cmd);
+  shell_exec($cmd);
+}
+function handle_safe($db2) {
+  $lit = "safe";
+  $db2->query($lit);
+  shell_exec($lit);
+}
+?>"""
+
 F27_SERVLET_JAVA = """class MyServlet {
   void doGet(HttpServletRequest req, HttpServletResponse resp) {
     String p = req.getParameter("q");
@@ -888,6 +946,19 @@ def fixture_docs() -> list[dict]:
         # the control-structure-guarded twin must not
         {"doc_id": "fixtures/java/Redirector.java",
          "spans": split_code_spans(F44_REDIRECT_JAVA, 2)},
+        # F45: php-mini frontend — superglobal into a receiver-ful query()
+        # and shell_exec() fires (php pack on real PHP); the literal twin
+        # must not; echo/require/member/dynamic-dispatch shapes covered
+        {"doc_id": "fixtures/php/inject.php",
+         "spans": split_code_spans(F45_INJECT_PHP, 3)},
+        # F46: UseAfterFree field queries — free'd param field that escapes
+        # to the return fires (free-field-no-reassign); the all-paths
+        # reassigner and the whole-struct-free twins must not. A local
+        # stored into an out-param pointee then free'd fires
+        # (free-returned-value); the different-local and reassigned-param
+        # twins must not
+        {"doc_id": "fixtures/c/uaf_field",
+         "spans": split_code_spans(F46_UAF_FIELD_C, 3)},
     ]
     return docs
 

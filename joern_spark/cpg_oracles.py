@@ -76,7 +76,8 @@ parts AS (
            (k % 5 = 0) AS has_media,
            (k % 11 = 3) AS is_js,
            (k % 11 = 5) AS is_jimple,
-           (k % 11 = 7) AS is_py
+           (k % 11 = 7) AS is_py,
+           (k % 11 = 9) AS is_php
     FROM kk
 ),
 spans0 AS (
@@ -98,6 +99,12 @@ spans0 AS (
            'def helper_' || m6 || '(x):' || {_NL} ||
            '    s = x + ' || bn || {_NL} ||
            '    log(s)'
+           WHEN is_php THEN
+           '<?php' || {_NL} ||
+           'require ''pkg_' || nn || ''';' || {_NL} ||
+           'function helper_' || m6 || '($x) {{' || {_NL} ||
+           '  $s = $x + ' || bn || ';' || {_NL} ||
+           '  log($s);'
            ELSE
            'int main_' || m6 || '() {{' || {_NL} ||
            '  int a = ' || an || ';' || {_NL} ||
@@ -126,6 +133,12 @@ spans0 AS (
            'class W_' || m6 || ':' || {_NL} ||
            '    def run(self, v):' || {_NL} ||
            '        return v + ' || cn
+           WHEN is_php THEN
+           '  return $s;' || {_NL} ||
+           '}}' || {_NL} ||
+           'class W_' || m6 || ' {{' || {_NL} ||
+           '  public function run($v) {{ return $v + ' || cn || '; }}' || {_NL} ||
+           '}}'
            ELSE
            '  printf(buf);' || {_NL} ||
            '  if (a > b) {{ a = b; }} else {{ b = a; }}' || {_NL} ||
@@ -152,6 +165,10 @@ spans0 AS (
            't = w.run(' || an || ')' || {_NL} ||
            'if t > 0:' || {_NL} ||
            '    u = helper_' || m6 || '(t)'
+           WHEN is_php THEN
+           '$w = new W_' || m6 || '();' || {_NL} ||
+           '$t = $w->run(' || an || ');' || {_NL} ||
+           '$u = helper_' || m6 || '($t);'
            ELSE
            'void helper_' || m6 || '(int x, int y) {{' || {_NL} ||
            '  int s = x + y;' || {_NL} ||
@@ -1610,6 +1627,97 @@ q52 AS (
           JOIN wv_exec x ON x.arg_id = flwv2.sink_id
           CROSS JOIN wv_clear) h
     JOIN n ON n.node_id = h.call_id
+),
+-- q53: free-field-no-reassign (UseAfterFree.scala:16-53) — free(param->f)
+-- where the whole struct is not freed/cleared and the access reaches the
+-- method return through the DDG
+ffn_cand AS (
+    SELECT fa.node_id AS arg_id, fa.method_id AS fa_mid, st.a_code AS s_code
+    FROM n fc
+    JOIN sargs a ON a.call_id = fc.node_id AND a.a_index = 1
+    JOIN n fa ON fa.node_id = a.arg_id AND fa.kind = 'CALL'
+         AND regexp_matches(fa.name, '^<operator>\\..*[fF]ieldAccess.*$')
+    JOIN sargs st ON st.call_id = fa.node_id AND st.a_index = 1
+    JOIN (SELECT DISTINCT method_id, name FROM n
+          WHERE kind = 'METHOD_PARAMETER_IN') p
+         ON p.method_id = fa.method_id AND p.name = st.a_code
+    WHERE fc.kind = 'CALL' AND regexp_matches(fc.name, '^free$')
+      AND NOT EXISTS (
+          SELECT 1 FROM n cc
+          JOIN sargs ca ON ca.call_id = cc.node_id AND ca.a_index = 1
+          WHERE cc.kind = 'CALL' AND cc.method_id = fa.method_id
+            AND regexp_matches(cc.name, '^((.*free)|memset|bzero)$')
+            AND ca.a_code = st.a_code
+      )
+),
+ffn_ret AS (
+    SELECT node_id AS sink_id, method_id AS fa_mid FROM n
+    WHERE kind = 'METHOD_RETURN'
+),
+flffn AS (
+    SELECT sink_id AS node_id, sink_id, 0 AS depth FROM ffn_ret
+    UNION
+    SELECT s.prev, flffn.sink_id, flffn.depth + s.dd
+    FROM flffn JOIN stepe s ON s.node_id = flffn.node_id
+    WHERE flffn.depth + s.dd <= 4
+),
+q53 AS (
+    SELECT 'free-field-no-reassign' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT c.arg_id FROM flffn
+          JOIN ffn_cand c ON c.arg_id = flffn.node_id
+          JOIN ffn_ret r ON r.sink_id = flffn.sink_id
+               AND r.fa_mid = c.fa_mid) h
+    JOIN n ON n.node_id = h.arg_id
+),
+-- q54: free-returned-value (UseAfterFree.scala:82-139) — local stored into
+-- an out-param pointee, later free'd at a site the store dominates;
+-- refsTo modeled as same-method same-name identifiers
+frv_pw AS (
+    SELECT DISTINCT a.a_mid AS method_id, a.a_name AS name
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE a.a_kind = 'IDENTIFIER' AND a.a_index = 1
+      AND c.name IN ('<operator>.assignment', '<operator>.addressOf')
+),
+frv_op AS (
+    SELECT p.method_id, p.name FROM n p
+    WHERE p.kind = 'METHOD_PARAMETER_IN'
+      AND regexp_matches(p.code, '.+\\*.+')
+      AND NOT EXISTS (SELECT 1 FROM frv_pw w
+                      WHERE w.method_id = p.method_id AND w.name = p.name)
+),
+frv_deref AS (
+    SELECT DISTINCT a.call_id AS access_id
+    FROM sargs a
+    JOIN n c ON c.node_id = a.call_id
+         AND c.name IN ('<operator>.indirectFieldAccess',
+                        '<operator>.indirection',
+                        '<operator>.indirectIndexAccess')
+    JOIN frv_op p ON p.method_id = a.a_mid AND p.name = a.a_name
+    WHERE a.a_kind = 'IDENTIFIER' AND a.a_index = 1
+),
+frv_x AS (
+    SELECT v.arg_id AS node_id, v.a_mid AS method_id, v.a_name AS name
+    FROM sargs st
+    JOIN n asn ON asn.node_id = st.call_id
+         AND asn.name = '<operator>.assignment'
+    JOIN frv_deref d ON d.access_id = st.arg_id
+    JOIN sargs v ON v.call_id = st.call_id AND v.a_index = 2
+         AND v.a_kind = 'IDENTIFIER'
+    WHERE st.a_index = 1
+),
+frv_free AS (
+    SELECT a.call_id AS free_id, a.a_mid AS method_id, a.a_name AS name
+    FROM sargs a JOIN n c ON c.node_id = a.call_id
+    WHERE c.kind = 'CALL' AND regexp_matches(c.name, '^(.*_)?free$')
+      AND a.a_kind = 'IDENTIFIER'
+),
+q54 AS (
+    SELECT 'free-returned-value' AS name, n.doc_id, n.code AS finding_code
+    FROM (SELECT DISTINCT x.node_id
+          FROM frv_x x
+          JOIN frv_free f ON f.method_id = x.method_id AND f.name = x.name
+          JOIN domup d ON d.node_id = f.free_id AND d.anc_id = x.node_id) h
+    JOIN n ON n.node_id = h.node_id
 )
 SELECT * FROM q1 UNION ALL SELECT * FROM q2
 UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
@@ -1637,6 +1745,7 @@ UNION ALL SELECT * FROM q45 UNION ALL SELECT * FROM q46
 UNION ALL SELECT * FROM q47 UNION ALL SELECT * FROM q48
 UNION ALL SELECT * FROM q49 UNION ALL SELECT * FROM q50
 UNION ALL SELECT * FROM q51 UNION ALL SELECT * FROM q52
+UNION ALL SELECT * FROM q53 UNION ALL SELECT * FROM q54
 """
 
 ORACLES = {

@@ -57,6 +57,8 @@ _JIMPLE_HINT = re.compile(r":=\s*@(this|parameter\d+|caughtexception)\b|\b(virtu
 
 
 def detect_language(doc_id: str, text: str) -> str:
+    if doc_id.endswith(".php") or "/php/" in doc_id or "<?php" in text:
+        return "php"
     if doc_id.endswith(".js") or "/js" in doc_id:
         return "js"
     if doc_id.endswith(".jimple") or "/jimple/" in doc_id:
@@ -167,6 +169,9 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     elif lang == "jimple":
         from .jimple_parser import parse_jimple
         tops = parse_jimple(text)
+    elif lang == "php":
+        from .php_parser import parse_php
+        tops = parse_php(text)
     else:
         tops = parse_c(text)
 

@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>0[xX][0-9a-fA-F]+[uUlL]*|\d+\.\d+[fF]?|\d+[uUlL]*[fF]?)
   | (?P<str>"(?:\\.|[^"\\])*")
   | (?P<char>'(?:\\.|[^'\\])*')
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<ident>\$?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>%s)
     """
     % "|".join(re.escape(o) for o in _OPERATORS),

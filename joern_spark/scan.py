@@ -611,6 +611,140 @@ def _free_follows_value_reuse(cpg: Cpg) -> DataFrame:
         .select(F.col("use_id").alias("node_id")).distinct()
 
 
+def _free_field_no_reassign(cpg: Cpg) -> DataFrame:
+    """UseAfterFree.scala:16-53 freeFieldNoReassign: ``free(param->field)``
+    where the struct is a parameter of the enclosing method, the whole
+    struct is not itself freed/cleared in that method, and the free'd field
+    access flows to the method return (i.e. no path reassigns it before
+    exit — the DDG def from the external ``free`` arg reaches METHOD_RETURN
+    exactly when some path lacks a kill). Marks the field-access argument."""
+    args = _args(cpg)
+    accesses = cpg.nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("name").rlike("^<operator>\\..*[fF]ieldAccess.*$")
+    ).select(F.col("node_id").alias("arg_id"),
+             F.col("method_id").alias("fa_mid"),
+             F.col("doc_id").alias("fa_doc"))
+    free_args = (
+        cpg.call("^free$").ids().withColumnRenamed("node_id", "call_id")
+        .join(args.filter(F.col("argument_index") == 1), "call_id")
+        .join(accesses, "arg_id")
+    )
+    # the struct operand (field access argument 1) must be a parameter name
+    # of the enclosing method (x.method.parameter.name.toSet contains it)
+    struct_ops = args.filter(F.col("argument_index") == 1).select(
+        F.col("call_id").alias("arg_id"), F.col("a_code").alias("struct_code"))
+    params = cpg.nodes.filter(F.col("kind") == "METHOD_PARAMETER_IN").select(
+        F.col("method_id").alias("fa_mid"), F.col("name").alias("struct_code"))
+    cand = free_args.join(struct_ops, "arg_id") \
+        .join(params.distinct(), ["fa_mid", "struct_code"])
+    # whereNot: the same method also frees/clears the whole struct
+    # (struct.method.ast.isCall.name(".*free$","memset","bzero")
+    #  .argument(1).codeExact(struct.code))
+    clears = (
+        cpg.nodes.filter(
+            (F.col("kind") == "CALL")
+            & F.col("name").rlike("^((.*free)|memset|bzero)$"))
+        .select(F.col("node_id").alias("call_id"),
+                F.col("method_id").alias("fa_mid"))
+        .join(args.filter(F.col("argument_index") == 1)
+              .select("call_id", F.col("a_code").alias("struct_code")),
+              "call_id")
+        .select("fa_mid", "struct_code").distinct()
+    )
+    cand = cand.join(clears, ["fa_mid", "struct_code"], "left_anti")
+    # arg.method.methodReturn.reachableBy(arg): the free'd access reaches
+    # the enclosing method's return through the DDG
+    rets = cpg.nodes.filter(F.col("kind") == "METHOD_RETURN").select(
+        F.col("node_id").alias("sink_id"), F.col("method_id").alias("fa_mid"))
+    hits = cpg.flow(rets.select(F.col("sink_id").alias("node_id")),
+                    cand.select(F.col("arg_id").alias("node_id")).distinct())
+    same_method = (
+        hits.join(rets, "sink_id")
+        .join(cand.select(F.col("arg_id").alias("source_id"), "fa_mid")
+              .distinct(), ["source_id", "fa_mid"])
+    )
+    return same_method.select(F.col("source_id").alias("node_id")).distinct()
+
+
+def _free_returned_value(cpg: Cpg) -> DataFrame:
+    """UseAfterFree.scala:82-139 freeReturnedValue (CVE-2019-18902 shape):
+    a local stored into an output parameter's pointee
+    (``param->field = x`` / ``*param = x`` / ``param[i] = x``) and later
+    free'd on a path the store dominates. ``refsTo``/``referencingIdentifiers``
+    are modeled as same-method same-name identifier sets (the C frontends
+    resolve locals/params lexically per method). Marks the stored
+    identifier."""
+    args = _args(cpg)
+    idents = args.filter(F.col("a_kind") == "IDENTIFIER")
+    # outParams: pointer-typed parameters never themselves reassigned or
+    # address-taken (argumentIndex 1 of assignment / addressOf)
+    reasn_or_addr = cpg.nodes.filter(
+        F.col("name").isin("<operator>.assignment", "<operator>.addressOf")
+    ).select(F.col("node_id").alias("call_id"))
+    param_writes = (
+        idents.filter(F.col("argument_index") == 1)
+        .join(reasn_or_addr, "call_id")
+        .select(F.col("a_mid").alias("method_id"),
+                F.col("a_name").alias("name")).distinct()
+    )
+    out_params = (
+        cpg.nodes.filter((F.col("kind") == "METHOD_PARAMETER_IN")
+                         & F.col("code").rlike(".+\\*.+"))
+        .select("method_id", "name")
+        .join(param_writes, ["method_id", "name"], "left_anti")
+    )
+    # assignedValues: ident-referencing-outParam at arg 1 of an indirect
+    # access, that access at arg 1 of an assignment, assignment arg 2 an
+    # identifier
+    indirect = cpg.nodes.filter(F.col("name").isin(
+        "<operator>.indirectFieldAccess", "<operator>.indirection",
+        "<operator>.indirectIndexAccess")).select(
+        F.col("node_id").alias("call_id"))
+    deref_of_param = (
+        idents.filter(F.col("argument_index") == 1)
+        .join(indirect, "call_id")
+        .join(out_params,
+              (F.col("a_mid") == out_params["method_id"])
+              & (F.col("a_name") == out_params["name"]))
+        .select(F.col("call_id").alias("arg_id"))
+    )
+    assign = cpg.nodes.filter(F.col("name") == "<operator>.assignment") \
+        .select(F.col("node_id").alias("call_id"))
+    stored_assigns = (
+        args.filter(F.col("argument_index") == 1).join(assign, "call_id")
+        .join(deref_of_param, "arg_id").select("call_id")
+    )
+    stored_ids = (
+        idents.filter(F.col("argument_index") == 2)
+        .join(stored_assigns, "call_id")
+        .select(F.col("arg_id").alias("node_id"),
+                F.col("a_mid").alias("method_id"),
+                F.col("a_name").alias("name"))
+    )
+    # freeAssigned: any same-method identifier with the stored name directly
+    # inside a `(.*_)?free` call
+    free_calls = cpg.nodes.filter(
+        (F.col("kind") == "CALL") & F.col("name").rlike("^(.*_)?free$")
+    ).select(F.col("node_id").alias("call_id"))
+    freed_uses = (
+        idents.join(free_calls, "call_id")
+        .select(F.col("call_id").alias("free_id"),
+                F.col("a_mid").alias("method_id"),
+                F.col("a_name").alias("name"))
+    )
+    pairs = stored_ids.join(freed_uses, ["method_id", "name"])
+    # freeCall.dominatedBy contains the stored identifier node
+    dom = _ancestor_pairs(
+        cpg.edges, "DOMINATE",
+        pairs.select(F.col("free_id").alias("node_id")).distinct())
+    return (
+        pairs.join(dom, (pairs["free_id"] == dom["start_id"])
+                   & (pairs["node_id"] == dom["anc_id"]))
+        .select(pairs["node_id"]).distinct()
+    )
+
+
 def _ineffective_certificate_check(cpg: Cpg) -> DataFrame:
     """java/CertificateChecks.scala:14-60 certChecks: a certificate/hostname
     validator whose body is nothing but argument-copy prologue and an
@@ -1542,6 +1676,14 @@ DEFAULT_BUNDLE = [
     Query("free-follows-value-reuse",
           "A value that is free'd is reused without reassignment", 5.0,
           _free_follows_value_reuse),
+    # querydb/c/UseAfterFree.scala (freeFieldNoReassign, score 5)
+    Query("free-field-no-reassign",
+          "A field of a parameter is free'd and not reassigned on all paths",
+          5.0, _free_field_no_reassign),
+    # querydb/c/UseAfterFree.scala (freeReturnedValue, score 5)
+    Query("free-returned-value",
+          "A value that is returned through a parameter is free'd in a path",
+          5.0, _free_returned_value),
     # querydb/c/RetvalChecks.scala
     Query("unchecked-read-recv-malloc",
           "Return value of read/recv/malloc is never checked", 3.0,

@@ -119,6 +119,32 @@ def jimple_code_for_key(k: int, helper: str) -> str:
     )
 
 
+def php_code_for_key(k: int, helper: str) -> str:
+    """Deterministic PHP script for the php-mini slice of the corpus
+    (``k % 11 == 9``): require → DEPENDENCY, a sigil-parameter function
+    (static link), a class with a typed receiver call (CHA via ``new``), and
+    an untyped ``log`` leftover (NaiveCallLinker). The leading ``<?php`` line
+    is the language sniff for extension-less synth doc_ids. Mirrored
+    line-for-line by the cpg_span_provenance DuckDB oracle
+    (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"<?php\n"
+        f"require 'pkg_{k % 50:02d}';\n"
+        f"function {helper}($x) {{\n"
+        f"  $s = $x + {k % 13};\n"
+        f"  log($s);\n"
+        f"  return $s;\n"
+        f"}}\n"
+        f"class W_{m6} {{\n"
+        f"  public function run($v) {{ return $v + {k % 7}; }}\n"
+        f"}}\n"
+        f"$w = new W_{m6}();\n"
+        f"$t = $w->run({k % 97});\n"
+        f"$u = {helper}($t);"
+    )
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -142,6 +168,8 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
                     code = jimple_code_for_key(k, helper)
                 elif k % 11 == 7:
                     code = py_code_for_key(k, helper)
+                elif k % 11 == 9:
+                    code = php_code_for_key(k, helper)
                 else:
                     code = code_for_key(k, helper)
                 spans = split_code_spans(code, 3)

@@ -125,3 +125,5 @@ F41 = "fixtures/java/WebHost.java"
 F42 = "fixtures/java/Unzip.java"
 F43 = "fixtures/java/Trustmgr.java"
 F44 = "fixtures/java/Redirector.java"
+F45 = "fixtures/php/inject.php"
+F46 = "fixtures/c/uaf_field"

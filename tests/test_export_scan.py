@@ -227,11 +227,14 @@ def test_ghidra_php_android_ports(scan_rows):
            (ge, "strcpy(dst, p)"), (ge, 'strcpy(dst2, "lit")')])
     # getenv result into strcpy source buffer fires; the literal twin not
     assert by_name["getenv-to-strcpy"] == [(ge, "p")]
-    # php pack: _REQUEST subscript into query()/shell_exec() args fires;
-    # the constant twin must not
+    # php pack: _REQUEST subscript into query()/shell_exec() args fires —
+    # on the jssrc shapes AND the real php-mini fixture (F45); the constant
+    # twins must not
     ph = "fixtures/js/phpish.js"
-    assert by_name["php-sql-injection"] == [(ph, "q")]
-    assert by_name["shell-exec"] == [(ph, "q")]
+    php45 = "fixtures/php/inject.php"
+    assert sorted(by_name["php-sql-injection"]) == [
+        (ph, "q"), (php45, "$cmd")]
+    assert sorted(by_name["shell-exec"]) == [(ph, "q"), (php45, "$cmd")]
     # root detection: called isRooted fires; caller-less twin must not
     assert by_name["root-detection-via-file-checks"] == [
         ("fixtures/java/RootCheck.java", "boolean isRooted()")]
@@ -249,6 +252,21 @@ def test_ghidra_php_android_ports(scan_rows):
     # SecureRandom.getInstance in Rng.java
     assert [d for d, _ in by_name["vuln-prng-android-v16_18"]] == [
         "fixtures/android/tap/build.gradle"]
+
+
+def test_uaf_field_ports(scan_rows):
+    """The two remaining UseAfterFree queries against F46: positives AND
+    negatives (closes the querydb to 50/50 reference query names)."""
+    by_name = _by_name(scan_rows)
+    uf = "fixtures/c/uaf_field"
+    # free'd param field escaping to the return fires; the all-paths
+    # reassigner (field_free_ok) and whole-struct free (field_free_whole)
+    # must not
+    assert by_name["free-field-no-reassign"] == [(uf, "b->ptr")]
+    # local stored into out-param pointee then free'd fires on the stored
+    # identifier; the different-local twin and the reassigned-param twin
+    # must not
+    assert by_name["free-returned-value"] == [(uf, "x")]
 
 
 def test_android_kotlin_dataflow_ports(scan_rows):

@@ -32,7 +32,8 @@ FIXTURES = [
     "fixtures/java/FwdActivity.java", "fixtures/java/EvilReceiver.java",
     "fixtures/java/Dyn.java", "fixtures/java/WebHost.java",
     "fixtures/java/Unzip.java", "fixtures/java/Trustmgr.java",
-    "fixtures/java/Redirector.java",
+    "fixtures/java/Redirector.java", "fixtures/php/inject.php",
+    "fixtures/c/uaf_field",
 ]
 
 
