@@ -600,6 +600,26 @@ void ret_reassigned(struct box *h) {
   free(hx);
 }"""
 
+F47_NET_KT = """import java.net;
+class KFetch {
+  fun insecure(): Int {
+    val u = URL("http://phrack.org");
+    return stash(u);
+  }
+  fun secure(): Int {
+    val v = URL("https://phrack.org");
+    return stash(v);
+  }
+  fun stash(q: Int): Int {
+    return q;
+  }
+}
+fun kmain(m: Int): Int {
+  val f = KFetch();
+  val r = f.insecure();
+  return r + m;
+}"""
+
 F45_INJECT_PHP = """<?php
 require 'db_lib';
 class Dao {
@@ -959,6 +979,12 @@ def fixture_docs() -> list[dict]:
         # twins must not
         {"doc_id": "fixtures/c/uaf_field",
          "spans": split_code_spans(F46_UAF_FIELD_C, 3)},
+        # F47: kotlin-mini frontend — new-less URL constructor with an
+        # http: literal fires the kotlin pack's insecure-protocol query;
+        # the https twin must not; typed params, val locals, constructor
+        # CHA, and dotted imports covered
+        {"doc_id": "fixtures/kotlin/Net.kt",
+         "spans": split_code_spans(F47_NET_KT, 3)},
     ]
     return docs
 

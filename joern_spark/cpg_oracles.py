@@ -77,7 +77,8 @@ parts AS (
            (k % 11 = 3) AS is_js,
            (k % 11 = 5) AS is_jimple,
            (k % 11 = 7) AS is_py,
-           (k % 11 = 9) AS is_php
+           (k % 11 = 9) AS is_php,
+           (k % 11 = 1) AS is_kt
     FROM kk
 ),
 spans0 AS (
@@ -105,6 +106,11 @@ spans0 AS (
            'function helper_' || m6 || '($x) {{' || {_NL} ||
            '  $s = $x + ' || bn || ';' || {_NL} ||
            '  log($s);'
+           WHEN is_kt THEN
+           'import pkg_' || nn || ';' || {_NL} ||
+           'fun helper_' || m6 || '(x: Int): Int {{' || {_NL} ||
+           '  val s = x + ' || bn || ';' || {_NL} ||
+           '  log(s);'
            ELSE
            'int main_' || m6 || '() {{' || {_NL} ||
            '  int a = ' || an || ';' || {_NL} ||
@@ -139,6 +145,11 @@ spans0 AS (
            'class W_' || m6 || ' {{' || {_NL} ||
            '  public function run($v) {{ return $v + ' || cn || '; }}' || {_NL} ||
            '}}'
+           WHEN is_kt THEN
+           '  return s;' || {_NL} ||
+           '}}' || {_NL} ||
+           'class W_' || m6 || ' {{' || {_NL} ||
+           '  fun run(v: Int): Int {{ return v + ' || cn || '; }}'
            ELSE
            '  printf(buf);' || {_NL} ||
            '  if (a > b) {{ a = b; }} else {{ b = a; }}' || {_NL} ||
@@ -169,6 +180,11 @@ spans0 AS (
            '$w = new W_' || m6 || '();' || {_NL} ||
            '$t = $w->run(' || an || ');' || {_NL} ||
            '$u = helper_' || m6 || '($t);'
+           WHEN is_kt THEN
+           '}}' || {_NL} ||
+           'val w = W_' || m6 || '();' || {_NL} ||
+           'val t = w.run(' || an || ');' || {_NL} ||
+           'val u = helper_' || m6 || '(t);'
            ELSE
            'void helper_' || m6 || '(int x, int y) {{' || {_NL} ||
            '  int s = x + y;' || {_NL} ||

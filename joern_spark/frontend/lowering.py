@@ -56,9 +56,14 @@ _PY_HINT = re.compile(r"^\s*def\s+\w+\s*\(.*\)\s*:", re.M)
 _JIMPLE_HINT = re.compile(r":=\s*@(this|parameter\d+|caughtexception)\b|\b(virtual|special|static|interface)invoke\b")
 
 
+_KT_HINT = re.compile(r"\bfun\s+\w+\s*\(")
+
+
 def detect_language(doc_id: str, text: str) -> str:
     if doc_id.endswith(".php") or "/php/" in doc_id or "<?php" in text:
         return "php"
+    if doc_id.endswith(".kt") or "/kotlin/" in doc_id or _KT_HINT.search(text):
+        return "kotlin"
     if doc_id.endswith(".js") or "/js" in doc_id:
         return "js"
     if doc_id.endswith(".jimple") or "/jimple/" in doc_id:
@@ -172,6 +177,9 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     elif lang == "php":
         from .php_parser import parse_php
         tops = parse_php(text)
+    elif lang == "kotlin":
+        from .kotlin_parser import parse_kotlin
+        tops = parse_kotlin(text)
     else:
         tops = parse_c(text)
 

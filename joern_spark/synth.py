@@ -145,6 +145,31 @@ def php_code_for_key(k: int, helper: str) -> str:
     )
 
 
+def kotlin_code_for_key(k: int, helper: str) -> str:
+    """Deterministic Kotlin script for the kotlin-mini slice of the corpus
+    (``k % 11 == 1``): dotted import → DEPENDENCY, a typed-parameter
+    function (static link), a class with a constructor-typed receiver call
+    (CHA via the new-less constructor), and an untyped ``log`` leftover
+    (NaiveCallLinker). The ``fun helper(`` head is the language sniff for
+    extension-less synth doc_ids. Mirrored line-for-line by the
+    cpg_span_provenance DuckDB oracle (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"import pkg_{k % 50:02d};\n"
+        f"fun {helper}(x: Int): Int {{\n"
+        f"  val s = x + {k % 13};\n"
+        f"  log(s);\n"
+        f"  return s;\n"
+        f"}}\n"
+        f"class W_{m6} {{\n"
+        f"  fun run(v: Int): Int {{ return v + {k % 7}; }}\n"
+        f"}}\n"
+        f"val w = W_{m6}();\n"
+        f"val t = w.run({k % 97});\n"
+        f"val u = {helper}(t);"
+    )
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -170,6 +195,8 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
                     code = py_code_for_key(k, helper)
                 elif k % 11 == 9:
                     code = php_code_for_key(k, helper)
+                elif k % 11 == 1:
+                    code = kotlin_code_for_key(k, helper)
                 else:
                     code = code_for_key(k, helper)
                 spans = split_code_spans(code, 3)

@@ -127,3 +127,4 @@ F43 = "fixtures/java/Trustmgr.java"
 F44 = "fixtures/java/Redirector.java"
 F45 = "fixtures/php/inject.php"
 F46 = "fixtures/c/uaf_field"
+F47 = "fixtures/kotlin/Net.kt"

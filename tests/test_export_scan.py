@@ -192,8 +192,11 @@ def test_metrics_and_crypto_ports(scan_rows):
     assert by_name["constant-array-access-no-check"] == [
         ("fixtures/c/lencheck", "pkt[8]")]
     # NetworkProtocols (F24): http constructor fires, https must not
-    assert by_name["usage-of-insecure-protocol"] == [
-        ("fixtures/java/Net.java", 'new URL("http://phrack.org")')]
+    # fires on the java `new URL(...)` AND the kotlin new-less constructor
+    # (F47); both https twins must not
+    assert sorted(by_name["usage-of-insecure-protocol"]) == [
+        ("fixtures/java/Net.java", 'new URL("http://phrack.org")'),
+        ("fixtures/kotlin/Net.kt", 'URL("http://phrack.org")')]
     # UnsafeReflection fragment-injection (F25/F26): targetSdk 17 gradle
     # fires (finding code = full config content), targetSdk 33 must not
     assert [d for d, _ in by_name["fragment-injection"]] == [

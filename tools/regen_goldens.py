@@ -33,7 +33,7 @@ FIXTURES = [
     "fixtures/java/Dyn.java", "fixtures/java/WebHost.java",
     "fixtures/java/Unzip.java", "fixtures/java/Trustmgr.java",
     "fixtures/java/Redirector.java", "fixtures/php/inject.php",
-    "fixtures/c/uaf_field",
+    "fixtures/c/uaf_field", "fixtures/kotlin/Net.kt",
 ]
 
 
