@@ -620,6 +620,98 @@ fun kmain(m: Int): Int {
   return r + m;
 }"""
 
+F48_NET_SWIFT = """import Foundation;
+class SFetch {
+  let tag = 4;
+  func insecure() -> Int {
+    let u = URL("http://phrack.org");
+    return stash(u);
+  }
+  func secure() -> Int {
+    let v = URL("https://phrack.org");
+    return stash(v);
+  }
+  func stash(_ q: Int) -> Int {
+    return q;
+  }
+}
+func smain(_ m: Int) -> Int {
+  let f = SFetch();
+  let r = f.insecure();
+  return r + m;
+}"""
+
+F49_POOL_GO = """package main;
+import (
+  "net/http";
+  "fmt";
+);
+type Worker struct {
+  n int;
+  tag string;
+}
+func (w Worker) run(v int) int {
+  return v + w.n;
+}
+func fetch(u int) int {
+  s := u + 2;
+  fmt.Println(s);
+  return s;
+}
+func gmain(m int) int {
+  w := new(Worker);
+  t := w.run(m);
+  r := fetch(t);
+  return r + t;
+}"""
+
+F50_FEED_RB = """require 'net/http'
+class RFetch
+  def initialize(tag)
+    @tag = tag
+  end
+  def run(v)
+    if v > 3
+      return v + @tag
+    else
+      return v
+    end
+  end
+end
+def fetch(u)
+  s = u + 2
+  log(s)
+  return s
+end
+f = RFetch.new(3)
+t = f.run(5)
+r = fetch(t)
+q = Marshal.new(r)"""
+
+F51_CLIENT_CS = """using System;
+using System.Net;
+namespace App {
+  class CFetch {
+    public int Tag { get; set; }
+    private int stash(int q) {
+      return q;
+    }
+    public int Insecure() {
+      WebClient c = new WebClient();
+      string u = c.Download("http://phrack.org");
+      return stash(Tag);
+    }
+  }
+  class Program {
+    static int Main(int m) {
+      CFetch f = new CFetch();
+      int r = f.Insecure();
+      Console.WriteLine(r);
+      return r + m;
+    }
+  }
+}"""
+
 F45_INJECT_PHP = """<?php
 require 'db_lib';
 class Dao {
@@ -985,6 +1077,27 @@ def fixture_docs() -> list[dict]:
         # CHA, and dotted imports covered
         {"doc_id": "fixtures/kotlin/Net.kt",
          "spans": split_code_spans(F47_NET_KT, 3)},
+        # F48: swift-mini frontend — `-> Ret` clauses, `_ q: Int` label
+        # pairs, let properties/locals, new-less constructor CHA; the
+        # http: URL constructor fires insecure-protocol, the https twin
+        # must not (same scanner anchor as the kotlin fixture)
+        {"doc_id": "fixtures/swift/Net.swift",
+         "spans": split_code_spans(F48_NET_SWIFT, 3)},
+        # F49: go-mini frontend — receiver methods, `name Type` params,
+        # := short declarations, new(T) alloc, struct MEMBERs, grouped
+        # string imports
+        {"doc_id": "fixtures/go/pool.go",
+         "spans": split_code_spans(F49_POOL_GO, 3)},
+        # F50: ruby-mini frontend — def/end blocks, X.new allocation
+        # (same-file alloc vs external <init>), @ivar identifiers,
+        # if/else/end, require dependency
+        {"doc_id": "fixtures/ruby/feed.rb",
+         "spans": split_code_spans(F50_FEED_RB, 3)},
+        # F51: csharp-mini frontend — using directives, namespace block,
+        # auto-property MEMBER, lower-case primitive types, static
+        # Console dispatch
+        {"doc_id": "fixtures/csharp/Client.cs",
+         "spans": split_code_spans(F51_CLIENT_CS, 3)},
     ]
     return docs
 

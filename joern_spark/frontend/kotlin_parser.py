@@ -49,12 +49,17 @@ _KT_DECL = ("val", "var")
 
 
 class KotlinParser(JsParser):
+    # subclass points (swift-mini reuses the whole grammar with these three
+    # dials turned: `func` keyword, `let` declarations, `->` return marker)
+    FUNC_KW = "fun"
+    DECL_KWS = _KT_DECL
+
     def __init__(self, text: str):
         super().__init__(text)
         # `fun` drives the shared `function` machinery; positions are
         # preserved so code slices keep the original Kotlin spelling
         self.toks = [Token(t.kind, "function", t.pos, t.line)
-                     if t.text == "fun" else t for t in self.toks]
+                     if t.text == self.FUNC_KW else t for t in self.toks]
         # constructor-call type lattice: classes declared in this file
         # (prescan, mirroring the Python frontend's known_classes)
         self.known_classes: set[str] = {
@@ -78,6 +83,7 @@ class KotlinParser(JsParser):
             p_start = self.peek()
             p_name = self.eat().text if self.at_kind("ident") \
                 else f"p{len(params) + 1}"
+            p_name = self._param_name(p_name)
             p_type = "ANY"
             if self.accept(":") and self.at_kind("ident"):
                 p_type = self.eat().text
@@ -90,7 +96,7 @@ class KotlinParser(JsParser):
                 break
         self.expect(")")
         ret = ret_type or "ANY"
-        if self.accept(":") and self.at_kind("ident"):
+        if self._accept_ret_marker() and self.at_kind("ident"):
             ret = self.eat().text
         method.signature = f"{ret}({','.join(param_types)})"
         method.code = self.slice(start_tok.pos).strip()
@@ -111,6 +117,15 @@ class KotlinParser(JsParser):
             order=len(params) + 2)
         return method
 
+    def _param_name(self, first: str) -> str:
+        """Kotlin parameters are single-named; Swift overrides this to
+        resolve ``external internal: Type`` label pairs."""
+        return first
+
+    def _accept_ret_marker(self) -> bool:
+        """``: Ret`` in Kotlin; Swift overrides with ``-> Ret``."""
+        return self.accept(":")
+
     def parse_class_member(self) -> AstNode | None:
         mods: list[Token] = []
         while self.peek() is not None and self.peek().text in _MODIFIERS:
@@ -121,7 +136,8 @@ class KotlinParser(JsParser):
             for mt in mods:
                 m.add(_modifier_node(mt))
             return m
-        if t is not None and t.text in _KT_DECL and self.at_kind("ident", 1):
+        if t is not None and t.text in self.DECL_KWS \
+                and self.at_kind("ident", 1):
             # property: `val x = init;` → MEMBER (astsForProperty)
             self.eat()
             name_tok = self.eat()
@@ -143,7 +159,8 @@ class KotlinParser(JsParser):
     # --- statements ----------------------------------------------------------
     def parse_statement(self) -> list[AstNode]:
         t = self.peek()
-        if t is not None and t.text in _KT_DECL and self.at_kind("ident", 1):
+        if t is not None and t.text in self.DECL_KWS \
+                and self.at_kind("ident", 1):
             return self.parse_js_declaration()
         return super().parse_statement()
 

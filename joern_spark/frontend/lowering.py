@@ -58,12 +58,33 @@ _JIMPLE_HINT = re.compile(r":=\s*@(this|parameter\d+|caughtexception)\b|\b(virtu
 
 _KT_HINT = re.compile(r"\bfun\s+\w+\s*\(")
 
+# `func f(...) ->` is Swift's FunctionSignatureSyntax; Go's `func` never
+# carries `->`. Java's `package` lines must NOT trip the Go sniff, so the
+# sniff keys on `func` alone (every Go doc in the subset declares one).
+_SWIFT_HINT = re.compile(r"\bfunc\s+\w+\s*\([^)]*\)\s*->")
+_GO_HINT = re.compile(r"\bfunc\s+(\(|\w+\s*\()")
+# `def f(args)` WITHOUT a trailing colon + an `end` keyword is Ruby; the
+# Python sniff (colon-terminated def) runs first and wins for Python
+_RB_HINT = re.compile(r"\bdef\s+\w+[^\n:]*\n.*\bend\b", re.S)
+# a line-leading `using X;` directive is C# (Java spells it `import`)
+_CS_HINT = re.compile(r"^using\s+\w[\w.]*\s*;", re.M)
+
 
 def detect_language(doc_id: str, text: str) -> str:
     if doc_id.endswith(".php") or "/php/" in doc_id or "<?php" in text:
         return "php"
     if doc_id.endswith(".kt") or "/kotlin/" in doc_id or _KT_HINT.search(text):
         return "kotlin"
+    if doc_id.endswith(".swift") or "/swift/" in doc_id \
+            or _SWIFT_HINT.search(text):
+        return "swift"
+    if doc_id.endswith(".go") or "/go/" in doc_id or _GO_HINT.search(text):
+        return "go"
+    if doc_id.endswith(".rb") or "/ruby/" in doc_id:
+        return "ruby"
+    if doc_id.endswith(".cs") or "/csharp/" in doc_id \
+            or _CS_HINT.search(text):
+        return "csharp"
     if doc_id.endswith(".js") or "/js" in doc_id:
         return "js"
     if doc_id.endswith(".jimple") or "/jimple/" in doc_id:
@@ -80,6 +101,8 @@ def detect_language(doc_id: str, text: str) -> str:
     # JS — so JS wins only on its own markers; `def f(...):` only in Python
     if _PY_HINT.search(text):
         return "py"
+    if _RB_HINT.search(text):
+        return "ruby"
     if _JS_HINT.search(text):
         return "js"
     if _JAVA_HINT.search(text):
@@ -180,6 +203,18 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     elif lang == "kotlin":
         from .kotlin_parser import parse_kotlin
         tops = parse_kotlin(text)
+    elif lang == "swift":
+        from .swift_parser import parse_swift
+        tops = parse_swift(text)
+    elif lang == "go":
+        from .go_parser import parse_go
+        tops = parse_go(text)
+    elif lang == "ruby":
+        from .ruby_parser import parse_ruby
+        tops = parse_ruby(text)
+    elif lang == "csharp":
+        from .csharp_parser import parse_csharp
+        tops = parse_csharp(text)
     else:
         tops = parse_c(text)
 

@@ -128,3 +128,7 @@ F44 = "fixtures/java/Redirector.java"
 F45 = "fixtures/php/inject.php"
 F46 = "fixtures/c/uaf_field"
 F47 = "fixtures/kotlin/Net.kt"
+F48 = "fixtures/swift/Net.swift"
+F49 = "fixtures/go/pool.go"
+F50 = "fixtures/ruby/feed.rb"
+F51 = "fixtures/csharp/Client.cs"

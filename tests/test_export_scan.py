@@ -170,7 +170,8 @@ def test_metrics_and_crypto_ports(scan_rows):
          "boolean verifyStrict(String host, SSLSession session)"),
         ("fixtures/jimple/Dispatch.jimple", "public static int jtally(int)"),
         ("fixtures/js/view.jsx", "function getGreeting(user)"),
-        ("fixtures/py/app.py", "def draw")]
+        ("fixtures/py/app.py", "def draw"),
+        ("fixtures/ruby/feed.rb", "def run")]
     # 5 loops fire; mx_complex's 1 loop + 4 ifs must not
     assert by_name["too-many-loops"] == [(mc, "int mx_loops(int x)")]
     # 4-deep if chain fires; the py fixture's loop/if/elif tower also
@@ -192,11 +193,12 @@ def test_metrics_and_crypto_ports(scan_rows):
     assert by_name["constant-array-access-no-check"] == [
         ("fixtures/c/lencheck", "pkt[8]")]
     # NetworkProtocols (F24): http constructor fires, https must not
-    # fires on the java `new URL(...)` AND the kotlin new-less constructor
-    # (F47); both https twins must not
+    # fires on the java `new URL(...)` AND the kotlin/swift new-less
+    # constructors (F47/F48); all https twins must not
     assert sorted(by_name["usage-of-insecure-protocol"]) == [
         ("fixtures/java/Net.java", 'new URL("http://phrack.org")'),
-        ("fixtures/kotlin/Net.kt", 'URL("http://phrack.org")')]
+        ("fixtures/kotlin/Net.kt", 'URL("http://phrack.org")'),
+        ("fixtures/swift/Net.swift", 'URL("http://phrack.org")')]
     # UnsafeReflection fragment-injection (F25/F26): targetSdk 17 gradle
     # fires (finding code = full config content), targetSdk 33 must not
     assert [d for d, _ in by_name["fragment-injection"]] == [

@@ -34,6 +34,8 @@ FIXTURES = [
     "fixtures/java/Unzip.java", "fixtures/java/Trustmgr.java",
     "fixtures/java/Redirector.java", "fixtures/php/inject.php",
     "fixtures/c/uaf_field", "fixtures/kotlin/Net.kt",
+    "fixtures/swift/Net.swift", "fixtures/go/pool.go",
+    "fixtures/ruby/feed.rb", "fixtures/csharp/Client.cs",
 ]
 
 
