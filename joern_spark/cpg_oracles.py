@@ -78,7 +78,11 @@ parts AS (
            (k % 11 = 5) AS is_jimple,
            (k % 11 = 7) AS is_py,
            (k % 11 = 9) AS is_php,
-           (k % 11 = 1) AS is_kt
+           (k % 11 = 1) AS is_kt,
+           (k % 11 = 6) AS is_sw,
+           (k % 11 = 2) AS is_go,
+           (k % 11 = 4) AS is_rb,
+           (k % 11 = 8) AS is_cs
     FROM kk
 ),
 spans0 AS (
@@ -111,6 +115,29 @@ spans0 AS (
            'fun helper_' || m6 || '(x: Int): Int {{' || {_NL} ||
            '  val s = x + ' || bn || ';' || {_NL} ||
            '  log(s);'
+           WHEN is_sw THEN
+           'import pkg_' || nn || ';' || {_NL} ||
+           'func helper_' || m6 || '(x: Int) -> Int {{' || {_NL} ||
+           '  let s = x + ' || bn || ';' || {_NL} ||
+           '  log(s);'
+           WHEN is_go THEN
+           'import "pkg_' || nn || '";' || {_NL} ||
+           'func helper_' || m6 || '(x int) int {{' || {_NL} ||
+           '  s := x + ' || bn || ';' || {_NL} ||
+           '  log(s);'
+           WHEN is_rb THEN
+           'require ''pkg_' || nn || '''' || {_NL} ||
+           'def helper_' || m6 || '(x)' || {_NL} ||
+           '  s = x + ' || bn || {_NL} ||
+           '  log(s)' || {_NL} ||
+           '  return s'
+           WHEN is_cs THEN
+           'using pkg_' || nn || ';' || {_NL} ||
+           'class W_' || m6 || ' {{' || {_NL} ||
+           '  public int run(int v) {{ return v + ' || cn || '; }}' || {_NL} ||
+           '  public int helper_' || m6 || '(int x) {{' || {_NL} ||
+           '    int s = x + ' || bn || ';' || {_NL} ||
+           '    log(s);'
            ELSE
            'int main_' || m6 || '() {{' || {_NL} ||
            '  int a = ' || an || ';' || {_NL} ||
@@ -150,6 +177,29 @@ spans0 AS (
            '}}' || {_NL} ||
            'class W_' || m6 || ' {{' || {_NL} ||
            '  fun run(v: Int): Int {{ return v + ' || cn || '; }}'
+           WHEN is_sw THEN
+           '  return s;' || {_NL} ||
+           '}}' || {_NL} ||
+           'class W_' || m6 || ' {{' || {_NL} ||
+           '  func run(v: Int) -> Int {{ return v + ' || cn || '; }}'
+           WHEN is_go THEN
+           '  return s;' || {_NL} ||
+           '}}' || {_NL} ||
+           'type W_' || m6 || ' struct {{ n int; }}' || {_NL} ||
+           'func (w W_' || m6 || ') run(v int) int {{ return v + ' || cn || '; }}'
+           WHEN is_rb THEN
+           'end' || {_NL} ||
+           'class W_' || m6 || {_NL} ||
+           '  def run(v)' || {_NL} ||
+           '    return v + ' || cn || {_NL} ||
+           '  end'
+           WHEN is_cs THEN
+           '    return s;' || {_NL} ||
+           '  }}' || {_NL} ||
+           '}}' || {_NL} ||
+           'class P_' || m6 || ' {{' || {_NL} ||
+           '  static int go(int m) {{' || {_NL} ||
+           '    W_' || m6 || ' w = new W_' || m6 || '();'
            ELSE
            '  printf(buf);' || {_NL} ||
            '  if (a > b) {{ a = b; }} else {{ b = a; }}' || {_NL} ||
@@ -185,6 +235,27 @@ spans0 AS (
            'val w = W_' || m6 || '();' || {_NL} ||
            'val t = w.run(' || an || ');' || {_NL} ||
            'val u = helper_' || m6 || '(t);'
+           WHEN is_sw THEN
+           '}}' || {_NL} ||
+           'let w = W_' || m6 || '();' || {_NL} ||
+           'let t = w.run(' || an || ');' || {_NL} ||
+           'let u = helper_' || m6 || '(t);'
+           WHEN is_go THEN
+           'w := new(W_' || m6 || ');' || {_NL} ||
+           't := w.run(' || an || ');' || {_NL} ||
+           'u := helper_' || m6 || '(t);' || {_NL} ||
+           'log(u);'
+           WHEN is_rb THEN
+           'end' || {_NL} ||
+           'w = W_' || m6 || '.new()' || {_NL} ||
+           't = w.run(' || an || ')' || {_NL} ||
+           'u = helper_' || m6 || '(t)' || {_NL} ||
+           'log(u)'
+           WHEN is_cs THEN
+           '    int t = w.run(m);' || {_NL} ||
+           '    return w.helper_' || m6 || '(t);' || {_NL} ||
+           '  }}' || {_NL} ||
+           '}}'
            ELSE
            'void helper_' || m6 || '(int x, int y) {{' || {_NL} ||
            '  int s = x + y;' || {_NL} ||

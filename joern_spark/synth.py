@@ -170,6 +170,113 @@ def kotlin_code_for_key(k: int, helper: str) -> str:
     )
 
 
+def swift_code_for_key(k: int, helper: str) -> str:
+    """Deterministic Swift script for the swift-mini slice of the corpus
+    (``k % 11 == 6``): dotted import → DEPENDENCY, a typed-parameter
+    function with a ``-> Ret`` clause (static link; the clause is also the
+    language sniff for extension-less synth doc_ids), a class with a
+    constructor-typed receiver call (CHA via the new-less constructor), and
+    an untyped ``log`` leftover (NaiveCallLinker). Mirrored line-for-line
+    by the cpg_span_provenance DuckDB oracle (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"import pkg_{k % 50:02d};\n"
+        f"func {helper}(x: Int) -> Int {{\n"
+        f"  let s = x + {k % 13};\n"
+        f"  log(s);\n"
+        f"  return s;\n"
+        f"}}\n"
+        f"class W_{m6} {{\n"
+        f"  func run(v: Int) -> Int {{ return v + {k % 7}; }}\n"
+        f"}}\n"
+        f"let w = W_{m6}();\n"
+        f"let t = w.run({k % 97});\n"
+        f"let u = {helper}(t);"
+    )
+
+
+def go_code_for_key(k: int, helper: str) -> str:
+    """Deterministic Go file for the go-mini slice of the corpus
+    (``k % 11 == 2``): string import → DEPENDENCY, a ``name Type``
+    parameter function (static link; the ``func name(`` head is the
+    language sniff), a struct with a receiver method reached through the
+    ``:=``/``new(T)`` type lattice (CHA), and an untyped ``log`` leftover
+    (NaiveCallLinker). Mirrored line-for-line by the cpg_span_provenance
+    DuckDB oracle (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f'import "pkg_{k % 50:02d}";\n'
+        f"func {helper}(x int) int {{\n"
+        f"  s := x + {k % 13};\n"
+        f"  log(s);\n"
+        f"  return s;\n"
+        f"}}\n"
+        f"type W_{m6} struct {{ n int; }}\n"
+        f"func (w W_{m6}) run(v int) int {{ return v + {k % 7}; }}\n"
+        f"w := new(W_{m6});\n"
+        f"t := w.run({k % 97});\n"
+        f"u := {helper}(t);\n"
+        f"log(u);"
+    )
+
+
+def ruby_code_for_key(k: int, helper: str) -> str:
+    """Deterministic Ruby script for the ruby-mini slice of the corpus
+    (``k % 11 == 4``): require → DEPENDENCY, an ``end``-delimited method
+    (static link; the colon-less ``def`` + ``end`` pair is the language
+    sniff), a class with an ``X.new`` constructor-typed receiver call
+    (CHA), and an untyped ``log`` leftover (NaiveCallLinker). Mirrored
+    line-for-line by the cpg_span_provenance DuckDB oracle
+    (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"require 'pkg_{k % 50:02d}'\n"
+        f"def {helper}(x)\n"
+        f"  s = x + {k % 13}\n"
+        f"  log(s)\n"
+        f"  return s\n"
+        f"end\n"
+        f"class W_{m6}\n"
+        f"  def run(v)\n"
+        f"    return v + {k % 7}\n"
+        f"  end\n"
+        f"end\n"
+        f"w = W_{m6}.new()\n"
+        f"t = w.run({k % 97})\n"
+        f"u = {helper}(t)\n"
+        f"log(u)"
+    )
+
+
+def csharp_code_for_key(k: int, helper: str) -> str:
+    """Deterministic C# file for the csharp-mini slice of the corpus
+    (``k % 11 == 8``): using directive → DEPENDENCY (also the language
+    sniff for extension-less synth doc_ids), a class pair with a typed
+    receiver call through the ``new``-typed declaration lattice (CHA), a
+    bare in-class call (static link), and an untyped ``log`` leftover
+    (NaiveCallLinker). Mirrored line-for-line by the cpg_span_provenance
+    DuckDB oracle (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"using pkg_{k % 50:02d};\n"
+        f"class W_{m6} {{\n"
+        f"  public int run(int v) {{ return v + {k % 7}; }}\n"
+        f"  public int {helper}(int x) {{\n"
+        f"    int s = x + {k % 13};\n"
+        f"    log(s);\n"
+        f"    return s;\n"
+        f"  }}\n"
+        f"}}\n"
+        f"class P_{m6} {{\n"
+        f"  static int go(int m) {{\n"
+        f"    W_{m6} w = new W_{m6}();\n"
+        f"    int t = w.run(m);\n"
+        f"    return w.{helper}(t);\n"
+        f"  }}\n"
+        f"}}"
+    )
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -197,6 +304,14 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
                     code = php_code_for_key(k, helper)
                 elif k % 11 == 1:
                     code = kotlin_code_for_key(k, helper)
+                elif k % 11 == 6:
+                    code = swift_code_for_key(k, helper)
+                elif k % 11 == 2:
+                    code = go_code_for_key(k, helper)
+                elif k % 11 == 4:
+                    code = ruby_code_for_key(k, helper)
+                elif k % 11 == 8:
+                    code = csharp_code_for_key(k, helper)
                 else:
                     code = code_for_key(k, helper)
                 spans = split_code_spans(code, 3)
