@@ -16,6 +16,21 @@ for i in $(seq "$ITER"); do
   BUSY=$(pgrep -cf "pytest|check_oracles|bench.py" || true)
   OK=$(python -c "print(1 if float('$LOAD') < $LOADMAX and int('${BUSY:-0}') == 0 else 0)")
   if [ "$OK" = "1" ]; then
+    # loadavg can't see hypervisor neighbors (they show up only as steal),
+    # so probe instantaneous steal for 5 s before burning a ~15-min batch on
+    # a window that was never actually quiet (the 2026-08-19 batch fired at
+    # loadavg 0.4 into a 16%-steal storm and produced only invalid pairs)
+    STEAL=$(python -c "
+import time
+from joern_spark.hostmetrics import steal_fraction_probe, steal_fraction
+b = steal_fraction_probe(); time.sleep(5)
+print(f'{steal_fraction(b) * 100:.2f}')")
+    STOK=$(python -c "print(1 if float('$STEAL') < ${STEALMAX:-0.5} else 0)")
+    if [ "$STOK" != "1" ]; then
+      echo "iter $i: load $LOAD but steal $STEAL% — neighbors active, sleeping" >&2
+      sleep 150
+      continue
+    fi
     echo "iter $i: load $LOAD — calibrating + firing pairs" >&2
     CAL=$(python tools/hw_calibration.py 5)
     echo "$CAL" >> "$OUT"
