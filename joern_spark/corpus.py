@@ -915,6 +915,29 @@ def with_media(spans: list[dict], refs: list[str], positions: list[int]) -> list
     return out
 
 
+F52_BSUM_ASM = """fn bsum @ 0x402000 params EDI ESI
+0x402000: PUSH EBP
+0x402004: MOV EBP, ESP
+0x402008: XOR EAX, EAX
+0x40200c: MOV ECX, EDI
+0x402010: TEST ECX, ECX
+0x402014: JLE 0x402028
+0x402018: ADD EAX, [EBX + 8]
+0x40201c: SUB ECX, 1
+0x402020: CALL mix
+0x402024: JMP 0x402010
+0x402028: POP EBP
+0x40202c: RET
+endfn
+fn mix @ 0x402030 params EAX
+0x402030: LEA EDX, [EAX + 4]
+0x402034: IMUL EAX, EDX
+0x402038: CALL log
+0x40203c: RFOO EAX
+0x402040: RET
+endfn"""
+
+
 def fixture_docs() -> list[dict]:
     docs = [
         {"doc_id": "fixtures/c/flow", "spans": split_code_spans(F1_FLOW_C, 3)},
@@ -1098,6 +1121,14 @@ def fixture_docs() -> list[dict]:
         # Console dispatch
         {"doc_id": "fixtures/csharp/Client.cs",
          "spans": split_code_spans(F51_CLIENT_CS, 3)},
+        # F52: ghidra-mini frontend (the binary-lifter twin) — register
+        # parameters, callee-register argument injection, a TEST/JLE + JMP
+        # loop through address JUMP_TARGETs, composite memory operand,
+        # unknown mnemonic → UNKNOWN, internal + external CALLs; the lifted
+        # binary itself rides along as the media span
+        {"doc_id": "fixtures/asm/bsum.asm",
+         "spans": with_media(split_code_spans(F52_BSUM_ASM, 3),
+                             ["bin://f52-blob"], [1])},
     ]
     return docs
 

@@ -82,7 +82,8 @@ parts AS (
            (k % 11 = 6) AS is_sw,
            (k % 11 = 2) AS is_go,
            (k % 11 = 4) AS is_rb,
-           (k % 11 = 8) AS is_cs
+           (k % 11 = 8) AS is_cs,
+           (k % 11 = 10) AS is_asm
     FROM kk
 ),
 spans0 AS (
@@ -138,6 +139,12 @@ spans0 AS (
            '  public int helper_' || m6 || '(int x) {{' || {_NL} ||
            '    int s = x + ' || bn || ';' || {_NL} ||
            '    log(s);'
+           WHEN is_asm THEN
+           'fn main_' || m6 || ' @ 0x401000' || {_NL} ||
+           '0x401000: MOV EAX, ' || an || {_NL} ||
+           '0x401004: ADD EAX, ' || bn || {_NL} ||
+           '0x401008: CMP EAX, 64' || {_NL} ||
+           '0x40100c: JNZ 0x401014'
            ELSE
            'int main_' || m6 || '() {{' || {_NL} ||
            '  int a = ' || an || ';' || {_NL} ||
@@ -200,6 +207,12 @@ spans0 AS (
            'class P_' || m6 || ' {{' || {_NL} ||
            '  static int go(int m) {{' || {_NL} ||
            '    W_' || m6 || ' w = new W_' || m6 || '();'
+           WHEN is_asm THEN
+           '0x401010: CALL helper_' || m6 || {_NL} ||
+           '0x401014: CALL log' || {_NL} ||
+           '0x401018: RET' || {_NL} ||
+           'endfn' || {_NL} ||
+           'fn helper_' || m6 || ' @ 0x401020 params EDI'
            ELSE
            '  printf(buf);' || {_NL} ||
            '  if (a > b) {{ a = b; }} else {{ b = a; }}' || {_NL} ||
@@ -256,6 +269,11 @@ spans0 AS (
            '    return w.helper_' || m6 || '(t);' || {_NL} ||
            '  }}' || {_NL} ||
            '}}'
+           WHEN is_asm THEN
+           '0x401020: MOV EAX, EDI' || {_NL} ||
+           '0x401024: ADD EAX, ' || cn || {_NL} ||
+           '0x401028: RET' || {_NL} ||
+           'endfn'
            ELSE
            'void helper_' || m6 || '(int x, int y) {{' || {_NL} ||
            '  int s = x + y;' || {_NL} ||

@@ -1,0 +1,258 @@
+"""Mini Ghidra frontend — the binary-lifter twin (13th reference frontend).
+
+Substitutes the reference's ``ghidra2cpg`` (a Ghidra-backed machine-code
+lifter) for a textual disassembly-listing subset. The reference disassembles
+a binary and lowers it function-by-function
+(``ghidra2cpg/.../passes/FunctionPass.scala``, ``x86/X86FunctionPass.scala``);
+our input documents carry the lifted listing as text (the binary artifact
+itself rides along as the doc's ``media_ref`` span), in the shape
+
+    fn main @ 0x401000 params EDI ESI
+    0x401000: MOV EAX, 97
+    0x401004: CALL helper
+    0x401008: JNZ 0x401010
+    0x40100c: RET
+    endfn
+
+Reference parity, pass by pass:
+
+- function → METHOD whose ``full_name`` IS the bare name (ghidra keys its
+  call resolution on ``functionByName``, ``FunctionPass.scala:30-36`` — no
+  qualified names exist in a stripped binary), parameters are the
+  decompiler's register-storage symbols (``handleParameters``,
+  ``FunctionPass.scala:70-107``) — here the ``params`` clause of the header;
+- every instruction → a CALL node NAMED the processor-mapped operator
+  (``X86Processor.scala:6-190``: MOV → ``<operator>.assignment``,
+  ADD → ``<operator>.incBy``, CMP/TEST → ``<operator>.compare``, ...),
+  STATIC_DISPATCH always (``Utils.scala:13-22``); unmapped mnemonics →
+  ``UNKNOWN`` (``FunctionPass.scala:157`` getOrElse);
+- operands → arguments at ``operand index + 1`` (``FunctionPass.scala:
+  210-226``): registers → IDENTIFIER, scalars/addresses → LITERAL with the
+  hex/decimal text as code, multi-object operands (``[EAX + 8]``) → one
+  composite-string IDENTIFIER (``FunctionPass.scala:212-222``);
+- ``CALL f`` → CALL node named/full-named ``f``; when ``f`` is defined in
+  the same document its parameter REGISTERS are injected as the call's
+  IDENTIFIER arguments (``FunctionPass.scala:157-207`` pulls the callee's
+  register parameters via the decompiler — dataflow enters the callee
+  through the registers live at the call site); unknown callees get no
+  arguments (``functionByName.get(...)`` miss);
+- control flow: instructions chain linearly (``X86FunctionPass.scala:
+  30-46``); an unconditional JMP breaks the fall-through edge
+  (``X86FunctionPass.scala:40-44``) and the jump lands on the instruction
+  at the target address (``JumpPass.scala:16-34`` resolves the address
+  literal). We lower JMP to the CONTROL_STRUCTURE GOTO + JUMP_LABEL shape
+  and mark jumped-to addresses as JUMP_TARGETs so the shared CfgCreationPass
+  produces exactly that CFG; conditional jumps (Jcc) become IF-with-goto
+  (fall-through = implicit else) whose condition is the flags register the
+  jump reads — the one deliberate deviation, since our CFG/DDG passes want
+  a condition node while ghidra leaves Jcc conditions implicit.
+
+Deviations (documented, deliberate): line numbers are real listing lines
+(the reference reuses the instruction ADDRESS as the line number,
+``FunctionPass.scala:84,205`` — binaries have no lines; our docs do), and
+register/literal types are ``int`` rather than ``Types.registerType``'s
+raw-string types (which would flood TYPE vocabulary with every scalar seen,
+a known reference wart — ``Utils.scala:39-47`` types literals by their own
+text).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .ast_model import AstNode, operator_call
+
+# X86Processor.scala:6-190 — the subset our listings use, mapped verbatim
+MNEMONIC_OPERATORS = {
+    "ADD": "<operator>.incBy",
+    "AND": "<operator>.assignmentAnd",
+    "CMP": "<operator>.compare",
+    "DEC": "<operator>.assignment",
+    "DIV": "<operator>.division",
+    "IDIV": "<operator>.division",
+    "IMUL": "<operator>.multiplication",
+    "INC": "<operator>.assignment",
+    "LEA": "<operator>.addressOf",
+    "MOV": "<operator>.assignment",
+    "MOVSX": "<operator>.assignment",
+    "MOVZX": "<operator>.assignment",
+    "MUL": "<operator>.multiplication",
+    "NOP": "<operator>.NOP",
+    "OR": "<operator>.or",
+    "POP": "<operator>.assignment",
+    "PUSH": "<operator>.assignment",
+    "SHL": "<operator>.logicalShiftLeft",
+    "SHR": "<operator>.logicalShiftRight",
+    "SUB": "<operator>.subtraction",
+    "TEST": "<operator>.compare",
+    "XOR": "<operator>.assignmentXor",
+}
+
+# flags register each conditional jump reads (condition node for the IF)
+COND_JUMP_FLAGS = {
+    "JZ": "ZF", "JNZ": "ZF", "JE": "ZF", "JNE": "ZF",
+    "JG": "SF", "JGE": "SF", "JL": "SF", "JLE": "SF",
+    "JA": "CF", "JAE": "CF", "JB": "CF", "JBE": "CF",
+}
+
+_FN_RE = re.compile(
+    r"^fn\s+(\w+)\s+@\s+(0x[0-9a-fA-F]+)(?:\s+params((?:\s+\w+)+))?\s*$")
+_INSN_RE = re.compile(r"^\s*(0x[0-9a-fA-F]+):\s+([A-Z]+)(?:\s+(\S.*?))?\s*$")
+_NUM_RE = re.compile(r"^(?:0x[0-9a-fA-F]+|-?\d+)$")
+_REG_TYPE = "int"
+
+
+def _split_operands(s: str) -> list[str]:
+    """Comma-split outside brackets: ``EAX, [EBX + 4]`` → 2 operands."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _operand_node(tok: str, pos: int, line: int) -> AstNode:
+    if _NUM_RE.match(tok):
+        # Scalar/GenericAddress → LITERAL (FunctionPass.scala:224-250)
+        return AstNode(kind="LITERAL", name=tok, code=tok,
+                       type_full_name="int", pos=pos, line=line)
+    # Register, or a composite memory operand as one string
+    # (FunctionPass.scala:212-222 multi-opObject branch)
+    return AstNode(kind="IDENTIFIER", name=tok, code=tok,
+                   type_full_name=_REG_TYPE, pos=pos, line=line)
+
+
+def parse_ghidra(text: str) -> list[AstNode]:
+    lines = text.split("\n")
+    offsets: list[int] = []
+    cursor = 0
+    for ln in lines:
+        offsets.append(cursor)
+        cursor += len(ln) + 1
+
+    # pass 1: function table (FunctionPass.scala:30-36 functionByName) and
+    # the set of jumped-to addresses (JumpPass target resolution)
+    fn_params: dict[str, list[str]] = {}
+    jump_targets: set[str] = set()
+    for ln in lines:
+        m = _FN_RE.match(ln)
+        if m:
+            fn_params[m.group(1)] = (m.group(3) or "").split()
+            continue
+        mi = _INSN_RE.match(ln)
+        if mi and (mi.group(2) == "JMP" or mi.group(2) in COND_JUMP_FLAGS):
+            tgt = (mi.group(3) or "").strip()
+            if _NUM_RE.match(tgt):
+                jump_targets.add(tgt)
+
+    out: list[AstNode] = []
+    method: AstNode | None = None
+    block: AstNode | None = None
+
+    def close_method(line_no: int) -> None:
+        nonlocal method, block
+        if method is None:
+            return
+        n_params = sum(1 for c in method.children
+                       if c.kind == "METHOD_PARAMETER_IN")
+        method.add(block, order=n_params + 1)
+        method.add(AstNode(kind="METHOD_RETURN", code="RET",
+                           type_full_name="int", pos=block.pos,
+                           line=block.line), order=n_params + 2)
+        out.append(method)
+        method = None
+        block = None
+
+    for li, ln in enumerate(lines):
+        pos = offsets[li]
+        line_no = li + 1
+        m = _FN_RE.match(ln)
+        if m:
+            close_method(line_no)
+            name = m.group(1)
+            method = AstNode(kind="METHOD", name=name, full_name=name,
+                             code=ln.strip(), pos=pos, line=line_no)
+            for k, reg in enumerate(fn_params.get(name, ()), start=1):
+                method.add(AstNode(
+                    kind="METHOD_PARAMETER_IN", name=reg,
+                    code=reg, type_full_name=_REG_TYPE,
+                    pos=pos, line=line_no, argument_index=k), order=k,
+                    argument_index=k)
+            block = AstNode(kind="BLOCK", pos=pos, line=line_no)
+            continue
+        if ln.strip() == "endfn":
+            close_method(line_no)
+            continue
+        mi = _INSN_RE.match(ln)
+        if mi is None or block is None:
+            continue
+        addr, mnemonic, rest = mi.group(1), mi.group(2), mi.group(3) or ""
+        if addr in jump_targets:
+            block.add(AstNode(kind="JUMP_TARGET", name=addr,
+                              code=f"{addr}:", pos=pos, line=line_no))
+        insn_code = f"{mnemonic} {rest}".strip()
+
+        if mnemonic == "RET":
+            block.add(AstNode(kind="RETURN", code="RET", pos=pos,
+                              line=line_no))
+            continue
+        if mnemonic == "CALL":
+            callee = rest.strip()
+            call = AstNode(kind="CALL", name=callee, full_name=callee,
+                           code=insn_code, dispatch_type="STATIC_DISPATCH",
+                           signature="", pos=pos, line=line_no)
+            # callee's register parameters become the call's arguments
+            # (FunctionPass.scala:157-207); unknown callee → none
+            for k, reg in enumerate(fn_params.get(callee, ()), start=1):
+                call.add(AstNode(kind="IDENTIFIER", name=reg, code=reg,
+                                 type_full_name=_REG_TYPE, pos=pos,
+                                 line=line_no), order=k, argument_index=k)
+            block.add(call)
+            continue
+        if mnemonic == "JMP":
+            g = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="GOTO",
+                        code=insn_code, pos=pos, line=line_no)
+            g.add(AstNode(kind="JUMP_LABEL", name=rest.strip(),
+                          code=rest.strip(), pos=pos, line=line_no), order=1)
+            block.add(g)
+            continue
+        if mnemonic in COND_JUMP_FLAGS:
+            node = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="IF",
+                           code=insn_code, pos=pos, line=line_no)
+            node.add(AstNode(kind="IDENTIFIER", name=COND_JUMP_FLAGS[mnemonic],
+                             code=COND_JUMP_FLAGS[mnemonic],
+                             type_full_name=_REG_TYPE, pos=pos, line=line_no),
+                     order=1, argument_index=1, condition=True)
+            then = AstNode(kind="BLOCK", pos=pos, line=line_no)
+            g = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="GOTO",
+                        code=insn_code, pos=pos, line=line_no)
+            g.add(AstNode(kind="JUMP_LABEL", name=rest.strip(),
+                          code=rest.strip(), pos=pos, line=line_no), order=1)
+            then.add(g)
+            node.add(then, order=2)
+            block.add(node)
+            continue
+        op = MNEMONIC_OPERATORS.get(mnemonic, "UNKNOWN")
+        call = operator_call(op, insn_code, pos, line_no)
+        if op == "UNKNOWN":
+            # FunctionPass.scala:157 getOrElse — keep the node a CALL named
+            # UNKNOWN, exactly what addCallOrReturnNode produces
+            call.name = "UNKNOWN"
+            call.full_name = "UNKNOWN"
+        for k, tok in enumerate(_split_operands(rest), start=1):
+            call.add(_operand_node(tok, pos, line_no), order=k,
+                     argument_index=k)
+        block.add(call)
+
+    close_method(len(lines))
+    return out

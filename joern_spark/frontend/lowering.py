@@ -68,9 +68,15 @@ _GO_HINT = re.compile(r"\bfunc\s+(\(|\w+\s*\()")
 _RB_HINT = re.compile(r"\bdef\s+\w+[^\n:]*\n.*\bend\b", re.S)
 # a line-leading `using X;` directive is C# (Java spells it `import`)
 _CS_HINT = re.compile(r"^using\s+\w[\w.]*\s*;", re.M)
+# ghidra-mini disassembly listing: `fn name @ 0xADDR [params ...]`
+_ASM_HINT = re.compile(r"^fn\s+\w+\s+@\s+0x[0-9a-fA-F]+", re.M)
 
 
 def detect_language(doc_id: str, text: str) -> str:
+    # disassembly listings (ghidra-mini): `fn name @ 0xADDR` headers exist in
+    # no source language — check first, it can't misfire
+    if doc_id.endswith(".asm") or "/asm/" in doc_id or _ASM_HINT.search(text):
+        return "asm"
     if doc_id.endswith(".php") or "/php/" in doc_id or "<?php" in text:
         return "php"
     if doc_id.endswith(".kt") or "/kotlin/" in doc_id or _KT_HINT.search(text):
@@ -215,6 +221,9 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     elif lang == "csharp":
         from .csharp_parser import parse_csharp
         tops = parse_csharp(text)
+    elif lang == "asm":
+        from .ghidra_parser import parse_ghidra
+        tops = parse_ghidra(text)
     else:
         tops = parse_c(text)
 

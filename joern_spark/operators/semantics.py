@@ -36,6 +36,8 @@ def default_semantics() -> dict[str, list[tuple[int, int]]]:
         "<operator>.notNullAssert": [(1, -1)],
         "<operator>.fieldAccess": [(1, -1)],
         "<operator>.getElementPtr": [(1, -1)],
+        # ghidra2cpg's ADD lowering (DefaultSemantics.scala:48)
+        "<operator>.incBy": [(1, 1), (2, 1), (3, 1), (4, 1)],
         "<operator>.indexAccess": [(1, -1)],
         "<operator>.indirectComputedMemberAccess": [(1, -1)],
         "<operator>.indirectFieldAccess": [(1, -1)],

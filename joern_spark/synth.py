@@ -277,6 +277,33 @@ def csharp_code_for_key(k: int, helper: str) -> str:
     )
 
 
+def asm_code_for_key(k: int, helper: str) -> str:
+    """Deterministic disassembly listing for the ghidra-mini slice of the
+    corpus (``k % 11 == 10``): register-parameter functions, an internal
+    CALL (exact functionByName link), the corpus-wide hot stub key ``log``
+    (the skewed call-linking key), and a CMP/JNZ skip for CFG work. The
+    binary artifact itself arrives as the doc's media span on the usual
+    ``k % 5`` residue. Mirrored line-for-line by the cpg_span_provenance
+    DuckDB oracle (cpg_oracles._SPAN_SQL)."""
+    m6 = f"{k % 1000000:06d}"
+    return (
+        f"fn main_{m6} @ 0x401000\n"
+        f"0x401000: MOV EAX, {k % 97}\n"
+        f"0x401004: ADD EAX, {k % 13}\n"
+        f"0x401008: CMP EAX, 64\n"
+        f"0x40100c: JNZ 0x401014\n"
+        f"0x401010: CALL {helper}\n"
+        f"0x401014: CALL log\n"
+        f"0x401018: RET\n"
+        f"endfn\n"
+        f"fn {helper} @ 0x401020 params EDI\n"
+        f"0x401020: MOV EAX, EDI\n"
+        f"0x401024: ADD EAX, {k % 7}\n"
+        f"0x401028: RET\n"
+        f"endfn"
+    )
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -312,6 +339,8 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
                     code = ruby_code_for_key(k, helper)
                 elif k % 11 == 8:
                     code = csharp_code_for_key(k, helper)
+                elif k % 11 == 10:
+                    code = asm_code_for_key(k, helper)
                 else:
                     code = code_for_key(k, helper)
                 spans = split_code_spans(code, 3)

@@ -132,3 +132,4 @@ F48 = "fixtures/swift/Net.swift"
 F49 = "fixtures/go/pool.go"
 F50 = "fixtures/ruby/feed.rb"
 F51 = "fixtures/csharp/Client.cs"
+F52 = "fixtures/asm/bsum.asm"

@@ -14,13 +14,13 @@ import pytest
 from tests.conftest import (F1, F2, F3, F4, F5, F6, F13, F15, F18, F19, F20,
                             F21, F22, F23, F24, F27, F28, F30, F31, F32,
                             F36, F38, F39, F40, F41, F42, F43, F44, F45, F46,
-                            F47, F48, F49, F50, F51)
+                            F47, F48, F49, F50, F51, F52)
 from tests.triple_labels import from_json, precision_recall, triple_counter
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 FIXTURES = [F1, F2, F3, F4, F5, F6, F13, F15, F18, F19, F20, F21, F22, F23,
             F24, F27, F28, F30, F31, F32, F36, F38, F39, F40, F41, F42,
-            F43, F44, F45, F46, F47, F48, F49, F50, F51]
+            F43, F44, F45, F46, F47, F48, F49, F50, F51, F52]
 
 
 def _slug(doc_id: str) -> str:

@@ -36,6 +36,7 @@ FIXTURES = [
     "fixtures/c/uaf_field", "fixtures/kotlin/Net.kt",
     "fixtures/swift/Net.swift", "fixtures/go/pool.go",
     "fixtures/ruby/feed.rb", "fixtures/csharp/Client.cs",
+    "fixtures/asm/bsum.asm",
 ]
 
 
