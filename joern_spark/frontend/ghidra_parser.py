@@ -47,6 +47,16 @@ Reference parity, pass by pass:
   jump reads — the one deliberate deviation, since our CFG/DDG passes want
   a condition node while ghidra leaves Jcc conditions implicit.
 
+Three of the reference's four processor maps are carried verbatim
+(``X86Processor.scala``, ``ArmProcessor.scala``, ``MipsProcessor.scala``;
+the fourth, PCode, is an alternative lowering pipeline, not an instruction
+set). A leading ``arch arm`` / ``arch mips`` line picks the processor the
+way ghidra's language id does; MIPS conditional branches compare registers
+directly (no flags), ``jr ra`` is the MIPS return idiom
+(``MipsReturnEdgesPass.scala``), and register-target jumps lower to a goto
+call with the register argument — unresolvable, exactly like the
+reference's non-literal goto arguments (``JumpPass.scala:27-31``).
+
 Deviations (documented, deliberate): line numbers are real listing lines
 (the reference reuses the instruction ADDRESS as the line number,
 ``FunctionPass.scala:84,205`` — binaries have no lines; our docs do), and
@@ -63,7 +73,7 @@ import re
 from .ast_model import AstNode, operator_call
 
 # X86Processor.scala:6-190 — the subset our listings use, mapped verbatim
-MNEMONIC_OPERATORS = {
+X86_OPERATORS = {
     "ADD": "<operator>.incBy",
     "AND": "<operator>.assignmentAnd",
     "CMP": "<operator>.compare",
@@ -95,9 +105,87 @@ COND_JUMP_FLAGS = {
     "JA": "CF", "JAE": "CF", "JB": "CF", "JBE": "CF",
 }
 
+# ArmProcessor.scala:6-60 — mapped verbatim (subset)
+ARM_OPERATORS = {
+    "add": "<operator>.incBy",
+    "adr": "<operator>.assignment",
+    "cmp": "<operator>.compare",
+    "cpy": "<operator>.assignment",
+    "ldp": "<operator>.addressOf",
+    "ldr": "<operator>.addressOf",
+    "ldrb": "<operator>.addressOf",
+    "lsl": "<operator>.addressOf",
+    "lsr": "<operator>.addressOf",
+    "mov": "<operator>.assignment",
+    "movk": "<operator>.assignment",
+    "movs": "<operator>.assignment",
+    "nop": "<operator>.NOP",
+    "stp": "<operator>.assignment",
+    "str": "<operator>.addition",
+    "strb": "<operator>.assignment",
+    "sub": "<operator>.subtraction",
+}
+# ARM conditional branches read the CPSR condition flags; cbz/cbnz test a
+# register directly (the register operand becomes the condition node)
+ARM_COND_FLAGS = {"bne": "CPSR", "beq": "CPSR", "bgt": "CPSR", "bge": "CPSR",
+                  "blt": "CPSR", "ble": "CPSR", "bxeq": "CPSR"}
+ARM_COND_REGS = {"cbz", "cbnz"}
+
+# MipsProcessor.scala:6-120 — mapped verbatim (subset; the `_...` delay-slot
+# twins map identically)
+MIPS_OPERATORS = {
+    "add": "<operator>.incBy",
+    "addi": "<operator>.incBy",
+    "addiu": "<operator>.incBy",
+    "addu": "<operator>.incBy",
+    "and": "<operator>.and",
+    "andi": "<operator>.and",
+    "clz": "<operator>.assignment",
+    "li": "<operator>.assignment",
+    "lui": "<operator>.assignment",
+    "lw": "<operator>.assignment",
+    "lb": "<operator>.assignment",
+    "move": "<operator>.assignment",
+    "nop": "<operator>.NOP",
+    "nor": "<operator>.nor",
+    "or": "<operator>.or",
+    "ori": "<operator>.or",
+    "sb": "<operator>.assignment",
+    "sll": "<operator>.assignmentShiftLeft",
+    "srl": "<operator>.assignmentLogicalShiftRight",
+    "subu": "<operator>.decBy",
+    "sw": "<operator>.assignment",
+    "xor": "<operator>.assignmentXor",
+    "xori": "<operator>.assignmentXor",
+}
+# MIPS conditional branches compare registers directly (no flags): the
+# register operands (everything before the target) become the condition —
+# lowered as a <operator>.compare call, or a bare identifier for one register
+MIPS_COND_BRANCHES = {"beq", "bne", "beql", "bnel", "bgez", "bgtz", "blez",
+                      "bltz", "bc1t", "bc1f"}
+
+# per-arch instruction grammar: which mnemonics call / return / jump.
+# ghidra picks the processor from the binary's language id
+# (Ghidra2Cpg.scala handlers per Processor); our listings declare it with an
+# optional leading `arch arm|mips` line (default x86)
+ARCH_SPECS = {
+    "x86": {"operators": X86_OPERATORS, "call": {"CALL"}, "ret": {"RET"},
+            "jump": {"JMP"}, "cond_flags": COND_JUMP_FLAGS,
+            "cond_regs": frozenset()},
+    "arm": {"operators": ARM_OPERATORS, "call": {"bl"},
+            "ret": {"ret"}, "jump": {"b", "bx", "br", "blx", "blr", "bti"},
+            "cond_flags": ARM_COND_FLAGS, "cond_regs": ARM_COND_REGS},
+    "mips": {"operators": MIPS_OPERATORS, "call": {"jal", "bal"},
+             # `jr ra` is the MIPS return idiom (MipsReturnEdgesPass)
+             "ret": {"jr"}, "jump": {"j", "b"},
+             "cond_flags": {}, "cond_regs": MIPS_COND_BRANCHES},
+}
+
 _FN_RE = re.compile(
-    r"^fn\s+(\w+)\s+@\s+(0x[0-9a-fA-F]+)(?:\s+params((?:\s+\w+)+))?\s*$")
-_INSN_RE = re.compile(r"^\s*(0x[0-9a-fA-F]+):\s+([A-Z]+)(?:\s+(\S.*?))?\s*$")
+    r"^fn\s+(\w+)\s+@\s+(0x[0-9a-fA-F]+)(?:\s+params((?:\s+\$?\w+)+))?\s*$")
+_INSN_RE = re.compile(
+    r"^\s*(0x[0-9a-fA-F]+):\s+([A-Za-z_][A-Za-z0-9.]*)(?:\s+(\S.*?))?\s*$")
+_ARCH_RE = re.compile(r"^arch\s+(x86|arm|mips)\s*$")
 _NUM_RE = re.compile(r"^(?:0x[0-9a-fA-F]+|-?\d+)$")
 _REG_TYPE = "int"
 
@@ -132,6 +220,14 @@ def _operand_node(tok: str, pos: int, line: int) -> AstNode:
                    type_full_name=_REG_TYPE, pos=pos, line=line)
 
 
+def _mnemonic_key(mnemonic: str, arch: str) -> str:
+    """MIPS delay-slot twins (``_addu`` etc.) map identically to their base
+    mnemonics (MipsProcessor.scala keeps both spellings as separate keys)."""
+    if arch == "mips" and mnemonic.startswith("_"):
+        return mnemonic[1:]
+    return mnemonic
+
+
 def parse_ghidra(text: str) -> list[AstNode]:
     lines = text.split("\n")
     offsets: list[int] = []
@@ -139,6 +235,18 @@ def parse_ghidra(text: str) -> list[AstNode]:
     for ln in lines:
         offsets.append(cursor)
         cursor += len(ln) + 1
+
+    # the binary's language id picks the processor (Ghidra2Cpg handler per
+    # Processor subclass); listings declare it with a leading `arch` line
+    arch = "x86"
+    for ln in lines:
+        m = _ARCH_RE.match(ln.strip())
+        if m:
+            arch = m.group(1)
+            break
+        if _FN_RE.match(ln):
+            break
+    spec = ARCH_SPECS[arch]
 
     # pass 1: function table (FunctionPass.scala:30-36 functionByName) and
     # the set of jumped-to addresses (JumpPass target resolution)
@@ -150,10 +258,14 @@ def parse_ghidra(text: str) -> list[AstNode]:
             fn_params[m.group(1)] = (m.group(3) or "").split()
             continue
         mi = _INSN_RE.match(ln)
-        if mi and (mi.group(2) == "JMP" or mi.group(2) in COND_JUMP_FLAGS):
-            tgt = (mi.group(3) or "").strip()
-            if _NUM_RE.match(tgt):
-                jump_targets.add(tgt)
+        if mi is None:
+            continue
+        mn = _mnemonic_key(mi.group(2), arch)
+        if mn in spec["jump"] or mn in spec["cond_flags"] \
+                or mn in spec["cond_regs"]:
+            ops = _split_operands(mi.group(3) or "")
+            if ops and _NUM_RE.match(ops[-1]):
+                jump_targets.add(ops[-1])
 
     out: list[AstNode] = []
     method: AstNode | None = None
@@ -196,18 +308,37 @@ def parse_ghidra(text: str) -> list[AstNode]:
         mi = _INSN_RE.match(ln)
         if mi is None or block is None:
             continue
-        addr, mnemonic, rest = mi.group(1), mi.group(2), mi.group(3) or ""
+        addr, raw_mn, rest = mi.group(1), mi.group(2), mi.group(3) or ""
+        mnemonic = _mnemonic_key(raw_mn, arch)
         if addr in jump_targets:
             block.add(AstNode(kind="JUMP_TARGET", name=addr,
                               code=f"{addr}:", pos=pos, line=line_no))
-        insn_code = f"{mnemonic} {rest}".strip()
+        insn_code = f"{raw_mn} {rest}".strip()
 
-        if mnemonic == "RET":
-            block.add(AstNode(kind="RETURN", code="RET", pos=pos,
-                              line=line_no))
+        def _goto_node() -> AstNode:
+            tgt = _split_operands(rest)[-1] if rest.strip() else "*"
+            g = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="GOTO",
+                        code=insn_code, pos=pos, line=line_no)
+            g.add(AstNode(kind="JUMP_LABEL", name=tgt, code=tgt,
+                          pos=pos, line=line_no), order=1)
+            return g
+
+        if mnemonic in spec["ret"]:
+            # MIPS: `jr ra` is the return idiom (MipsReturnEdgesPass);
+            # `jr t9` is an indirect register jump — JumpPass can't resolve
+            # those either ("Ignore for now", JumpPass.scala:27-31), so it
+            # lowers like the reference: a goto call with the register arg
+            if arch == "mips" and rest.strip().lstrip("$") != "ra":
+                g = operator_call("<operator>.goto", insn_code, pos, line_no)
+                g.add(_operand_node(rest.strip(), pos, line_no),
+                      order=1, argument_index=1)
+                block.add(g)
+            else:
+                block.add(AstNode(kind="RETURN", code=insn_code, pos=pos,
+                                  line=line_no))
             continue
-        if mnemonic == "CALL":
-            callee = rest.strip()
+        if mnemonic in spec["call"]:
+            callee = _split_operands(rest)[0] if rest.strip() else ""
             call = AstNode(kind="CALL", name=callee, full_name=callee,
                            code=insn_code, dispatch_type="STATIC_DISPATCH",
                            signature="", pos=pos, line=line_no)
@@ -219,30 +350,50 @@ def parse_ghidra(text: str) -> list[AstNode]:
                                  line=line_no), order=k, argument_index=k)
             block.add(call)
             continue
-        if mnemonic == "JMP":
-            g = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="GOTO",
-                        code=insn_code, pos=pos, line=line_no)
-            g.add(AstNode(kind="JUMP_LABEL", name=rest.strip(),
-                          code=rest.strip(), pos=pos, line=line_no), order=1)
-            block.add(g)
+        if mnemonic in spec["jump"]:
+            tgt = rest.strip()
+            if _NUM_RE.match(tgt):
+                block.add(_goto_node())
+            else:
+                # register-target jump: unresolvable, like the reference's
+                # non-literal goto arguments (JumpPass.scala:27-31)
+                g = operator_call("<operator>.goto", insn_code, pos, line_no)
+                if tgt:
+                    g.add(_operand_node(tgt, pos, line_no),
+                          order=1, argument_index=1)
+                block.add(g)
             continue
-        if mnemonic in COND_JUMP_FLAGS:
+        if mnemonic in spec["cond_flags"] or mnemonic in spec["cond_regs"]:
             node = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="IF",
                            code=insn_code, pos=pos, line=line_no)
-            node.add(AstNode(kind="IDENTIFIER", name=COND_JUMP_FLAGS[mnemonic],
-                             code=COND_JUMP_FLAGS[mnemonic],
-                             type_full_name=_REG_TYPE, pos=pos, line=line_no),
-                     order=1, argument_index=1, condition=True)
+            ops = _split_operands(rest)
+            regs = [o for o in ops[:-1]] if len(ops) > 1 else []
+            if mnemonic in spec["cond_flags"]:
+                flag = spec["cond_flags"][mnemonic]
+                cond = AstNode(kind="IDENTIFIER", name=flag, code=flag,
+                               type_full_name=_REG_TYPE, pos=pos,
+                               line=line_no)
+            elif len(regs) >= 2:
+                # MIPS compares registers directly — no flags; the operand
+                # pair is the condition
+                cond = operator_call("<operator>.compare",
+                                     " ".join(regs), pos, line_no)
+                for k, r2 in enumerate(regs, start=1):
+                    cond.add(_operand_node(r2, pos, line_no), order=k,
+                             argument_index=k)
+            elif regs:
+                cond = _operand_node(regs[0], pos, line_no)
+            else:
+                cond = AstNode(kind="IDENTIFIER", name="fcc", code="fcc",
+                               type_full_name=_REG_TYPE, pos=pos,
+                               line=line_no)
+            node.add(cond, order=1, argument_index=1, condition=True)
             then = AstNode(kind="BLOCK", pos=pos, line=line_no)
-            g = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="GOTO",
-                        code=insn_code, pos=pos, line=line_no)
-            g.add(AstNode(kind="JUMP_LABEL", name=rest.strip(),
-                          code=rest.strip(), pos=pos, line=line_no), order=1)
-            then.add(g)
+            then.add(_goto_node())
             node.add(then, order=2)
             block.add(node)
             continue
-        op = MNEMONIC_OPERATORS.get(mnemonic, "UNKNOWN")
+        op = spec["operators"].get(mnemonic, "UNKNOWN")
         call = operator_call(op, insn_code, pos, line_no)
         if op == "UNKNOWN":
             # FunctionPass.scala:157 getOrElse — keep the node a CALL named

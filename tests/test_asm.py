@@ -121,6 +121,83 @@ def test_jump_shapes():
     assert sorted(labels) == ["0x402010", "0x402028"]
 
 
+_ARM_SRC = """arch arm
+fn start @ 0x8000 params r0
+0x8000: mov r1, r0
+0x8004: cmp r1, 4
+0x8008: bne 0x8014
+0x800c: bl mixer
+0x8010: b 0x8018
+0x8014: sub r1, r1, 1
+0x8018: ret
+endfn
+fn mixer @ 0x8020 params r1
+0x8020: add r1, r1, 2
+0x8024: ret
+endfn"""
+
+_MIPS_SRC = """arch mips
+fn boot @ 0x400000 params $a0
+0x400000: move $t0, $a0
+0x400004: beq $t0, $zero, 0x400014
+0x400008: _addiu $t0, $t0, 3
+0x40000c: jal pack
+0x400010: j 0x400018
+0x400014: li $t0, 1
+0x400018: jr ra
+endfn
+fn pack @ 0x400020 params $t0
+0x400020: sll $t0, $t0, 2
+0x400024: jr $t9
+0x400028: jr ra
+endfn"""
+
+
+def test_arm_processor_map():
+    tops = parse_ghidra(_ARM_SRC)
+    start = next(t for t in tops if t.name == "start")
+    ops = [n.name for n in start.walk() if n.kind == "CALL"]
+    assert "<operator>.assignment" in ops    # mov (ArmProcessor.scala)
+    assert "<operator>.compare" in ops       # cmp
+    assert "<operator>.subtraction" in ops   # sub
+    # bl → CALL with the callee's register parameter injected
+    call = next(n for n in start.walk()
+                if n.kind == "CALL" and n.name == "mixer")
+    assert [(c.kind, c.name) for c in call.children] == [("IDENTIFIER", "r1")]
+    # bne reads the CPSR flags; b is the unconditional jump
+    ctrls = [(n.ctrl_type, n.code) for n in start.walk()
+             if n.kind == "CONTROL_STRUCTURE"]
+    assert ("IF", "bne 0x8014") in ctrls
+    assert ("GOTO", "b 0x8018") in ctrls
+    iff = next(n for n in start.walk() if n.ctrl_type == "IF")
+    assert iff.children[0].name == "CPSR"
+
+
+def test_mips_processor_map():
+    tops = parse_ghidra(_MIPS_SRC)
+    boot = next(t for t in tops if t.name == "boot")
+    ops = [n.name for n in boot.walk() if n.kind == "CALL"]
+    assert "<operator>.assignment" in ops    # move / li
+    assert "<operator>.incBy" in ops         # _addiu delay-slot twin → addiu
+    # beq compares registers directly — condition is a compare over them
+    iff = next(n for n in boot.walk() if n.ctrl_type == "IF")
+    cond = iff.children[0]
+    assert cond.kind == "CALL" and cond.name == "<operator>.compare"
+    assert [c.name for c in cond.children] == ["$t0", "$zero"]
+    # jal → CALL with register-param injection; jr ra → RETURN
+    call = next(n for n in boot.walk()
+                if n.kind == "CALL" and n.name == "pack")
+    assert [c.name for c in call.children] == ["$t0"]
+    assert any(n.kind == "RETURN" for n in boot.walk())
+    pack = next(t for t in tops if t.name == "pack")
+    # register-target jr is NOT a return: goto call with the register arg
+    gotos = [n for n in pack.walk()
+             if n.kind == "CALL" and n.name == "<operator>.goto"]
+    assert len(gotos) == 1 and gotos[0].children[0].name == "$t9"
+    assert "<operator>.assignmentShiftLeft" in [
+        n.name for n in pack.walk() if n.kind == "CALL"]
+
+
 # ---- pipeline-level (session fixture includes F52) --------------------------
 
 def test_asm_static_link_and_stub(g):
