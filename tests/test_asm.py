@@ -245,6 +245,32 @@ def test_asm_param_dataflow(g):
     assert len(rd[rd["src"] == pids[0]]) >= 1
 
 
+def test_asm_binary_pack_scan(spark):
+    """The ghidra querydb pack scans binary-frontend docs end-to-end: a
+    listing's `CALL strcpy` fires call-to-strcpy (the reference's
+    ghidra/DangerousFunctions.scala:13-31 strcpyUsed matches methods by
+    name regex — asm CALLs carry exactly the bare function name)."""
+    from joern_spark.corpus import docs_df
+    from joern_spark.pipeline import run_pipeline
+    from joern_spark.scan import DEFAULT_BUNDLE, run_scan
+
+    src = ("fn copy @ 0x600000 params EDI ESI\n"
+           "0x600000: MOV EAX, EDI\n"
+           "0x600004: CALL strcpy\n"
+           "0x600008: RET\n"
+           "endfn")
+    docs = docs_df(spark, [{"doc_id": "adhoc/bin.asm", "spans": [
+        {"kind": "code", "text": src, "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "bin://adhoc", "offset": 1},
+    ]}])
+    res = run_pipeline(spark, docs, n_parts=2)
+    bundle = [q for q in DEFAULT_BUNDLE if q.name == "call-to-strcpy"]
+    assert bundle
+    rows = run_scan(res.nodes, res.edges, bundle=bundle).collect()
+    assert [(r["doc_id"], r["code"]) for r in rows] == [
+        ("adhoc/bin.asm", "CALL strcpy")]
+
+
 def test_asm_media_span_preserved(g):
     """The lifted binary artifact rides along as the doc's media span and
     survives to the spans frame (north-rule span-sequence invariant)."""
