@@ -47,11 +47,12 @@ Reference parity, pass by pass:
   jump reads — the one deliberate deviation, since our CFG/DDG passes want
   a condition node while ghidra leaves Jcc conditions implicit.
 
-Three of the reference's four processor maps are carried verbatim
-(``X86Processor.scala``, ``ArmProcessor.scala``, ``MipsProcessor.scala``;
-the fourth, PCode, is an alternative lowering pipeline, not an instruction
-set). A leading ``arch arm`` / ``arch mips`` line picks the processor the
-way ghidra's language id does; MIPS conditional branches compare registers
+All four of the reference's processor maps are carried verbatim
+(``X86Processor.scala``, ``ArmProcessor.scala``, ``MipsProcessor.scala``,
+``PCodeProcessor.scala`` — the last being Ghidra's architecture-neutral IR,
+the reference's default lowering). A leading ``arch arm`` / ``arch mips`` /
+``arch pcode`` line picks the processor the way ghidra's language id does;
+MIPS conditional branches compare registers
 directly (no flags), ``jr ra`` is the MIPS return idiom
 (``MipsReturnEdgesPass.scala``), and register-target jumps lower to a goto
 call with the register argument — unresolvable, exactly like the
@@ -164,6 +165,33 @@ MIPS_OPERATORS = {
 MIPS_COND_BRANCHES = {"beq", "bne", "beql", "bnel", "bgez", "bgtz", "blez",
                       "bltz", "bc1t", "bc1f"}
 
+# PCodeProcessor.scala:6-81 — Ghidra's architecture-neutral IR (the default
+# lowering for binaries without a dedicated processor). Ops the reference
+# maps to <operator>.TODO keep that spelling; everything else verbatim.
+PCODE_OPERATORS = {
+    "BOOL_OR": "<operator>.or",
+    "BOOL_XOR": "<operator>.xor",
+    "COPY": "<operator>.assignment",
+    "FLOAT_ADD": "<operator>.addition",
+    "INT_ADD": "<operator>.addition",
+    "INT_DIV": "<operator>.division",
+    "INT_MULT": "<operator>.multiplication",
+    "INT_OR": "<operator>.or",
+    "INT_XOR": "<operator>.xor",
+    "STORE": "<operator>.assignment",
+}
+_PCODE_TODO = {
+    "BOOL_AND", "BOOL_NEGATE", "CALLOTHER", "CAST", "CPOOLREF", "EXTRACT",
+    "FLOAT_ABS", "FLOAT_CEIL", "FLOAT_DIV", "FLOAT_EQUAL", "FLOAT_FLOOR",
+    "FLOAT_LESS", "FLOAT_MULT", "FLOAT_NEG", "FLOAT_SQRT", "FLOAT_SUB",
+    "INDIRECT", "INT_2COMP", "INT_AND", "INT_EQUAL", "INT_LEFT", "INT_LESS",
+    "INT_NEGATE", "INT_NOTEQUAL", "INT_REM", "INT_RIGHT", "INT_SDIV",
+    "INT_SEXT", "INT_SLESS", "INT_SREM", "INT_SUB", "INT_ZEXT", "LOAD",
+    "MULTIEQUAL", "NEW", "PIECE", "POPCOUNT", "PTRADD", "PTRSUB", "SUBPIECE",
+    "UNIMPLEMENTED",
+}
+PCODE_OPERATORS.update({op: "<operator>.TODO" for op in _PCODE_TODO})
+
 # per-arch instruction grammar: which mnemonics call / return / jump.
 # ghidra picks the processor from the binary's language id
 # (Ghidra2Cpg.scala handlers per Processor); our listings declare it with an
@@ -179,13 +207,18 @@ ARCH_SPECS = {
              # `jr ra` is the MIPS return idiom (MipsReturnEdgesPass)
              "ret": {"jr"}, "jump": {"j", "b"},
              "cond_flags": {}, "cond_regs": MIPS_COND_BRANCHES},
+    # CBRANCH carries (condition varnode, target) — our listing grammar puts
+    # the target last for every arch, so it slots into the cond_regs shape
+    "pcode": {"operators": PCODE_OPERATORS, "call": {"CALL", "CALLIND"},
+              "ret": {"RETURN"}, "jump": {"BRANCH", "BRANCHIND"},
+              "cond_flags": {}, "cond_regs": {"CBRANCH"}},
 }
 
 _FN_RE = re.compile(
     r"^fn\s+(\w+)\s+@\s+(0x[0-9a-fA-F]+)(?:\s+params((?:\s+\$?\w+)+))?\s*$")
 _INSN_RE = re.compile(
-    r"^\s*(0x[0-9a-fA-F]+):\s+([A-Za-z_][A-Za-z0-9.]*)(?:\s+(\S.*?))?\s*$")
-_ARCH_RE = re.compile(r"^arch\s+(x86|arm|mips)\s*$")
+    r"^\s*(0x[0-9a-fA-F]+):\s+([A-Za-z_][A-Za-z0-9._]*)(?:\s+(\S.*?))?\s*$")
+_ARCH_RE = re.compile(r"^arch\s+(x86|arm|mips|pcode)\s*$")
 _NUM_RE = re.compile(r"^(?:0x[0-9a-fA-F]+|-?\d+)$")
 _REG_TYPE = "int"
 

@@ -245,6 +245,37 @@ def test_asm_param_dataflow(g):
     assert len(rd[rd["src"] == pids[0]]) >= 1
 
 
+_PCODE_SRC = """arch pcode
+fn frob @ 0x10000 params v0
+0x10000: COPY v1, v0
+0x10004: INT_ADD v1, v1, 7
+0x10008: INT_SLESS v2, v1, 40
+0x1000c: CBRANCH v2, 0x10018
+0x10010: CALLIND helper
+0x10014: BRANCH 0x1001c
+0x10018: INT_XOR v1, v1, v1
+0x1001c: RETURN ra
+endfn"""
+
+
+def test_pcode_processor_map():
+    tops = parse_ghidra(_PCODE_SRC)
+    frob = next(t for t in tops if t.name == "frob")
+    ops = [n.name for n in frob.walk() if n.kind == "CALL"]
+    assert "<operator>.assignment" in ops   # COPY (PCodeProcessor.scala)
+    assert "<operator>.addition" in ops     # INT_ADD
+    assert "<operator>.xor" in ops          # INT_XOR
+    assert "<operator>.TODO" in ops         # INT_SLESS keeps the TODO name
+    # CALLIND → CALL; CBRANCH condition is the boolean varnode; BRANCH and
+    # the conditional target both resolve through JUMP_TARGETs
+    assert any(n.kind == "CALL" and n.name == "helper" for n in frob.walk())
+    iff = next(n for n in frob.walk() if n.ctrl_type == "IF")
+    assert iff.children[0].name == "v2"
+    assert sorted(n.name for n in frob.walk() if n.kind == "JUMP_TARGET") \
+        == ["0x10018", "0x1001c"]
+    assert any(n.kind == "RETURN" for n in frob.walk())
+
+
 def test_asm_binary_pack_scan(spark):
     """The ghidra querydb pack scans binary-frontend docs end-to-end: a
     listing's `CALL strcpy` fires call-to-strcpy (the reference's
