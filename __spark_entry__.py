@@ -163,8 +163,26 @@ def cpg_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpg_method_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method metrics (querydb Metrics.scala analog + cyclomatic E-N+2)."""
+    from joern_spark.operators.graph_metrics import method_metrics
+
+    res = _cpg(spark, sf_dir)
+    return method_metrics(res.nodes, res.edges)
+
+
+def cpg_call_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive call closure (method.repeat(_.callee) analog)."""
+    from joern_spark.operators.graph_metrics import call_closure
+
+    res = _cpg(spark, sf_dir)
+    return call_closure(res.nodes, res.edges)
+
+
 _CPG_QUERIES = {
     "cpg_triples": cpg_triples,
+    "cpg_method_metrics": cpg_method_metrics,
+    "cpg_call_closure": cpg_call_closure,
     "cpg_dependencies": cpg_dependencies,
     "cpg_reaching_def": cpg_reaching_def,
     "cpg_callgraph": cpg_callgraph,

@@ -110,6 +110,66 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- IVF (inverted-file) ANN: coarse quantizer + nprobe cluster search ----
+# Centroid seeds are data rows picked by a deterministic residue rule (no
+# RNG, no k-means iterations — reproducibility over recall for the oracle
+# twin; a k-means refinement would only move the centroid vectors, not the
+# plan shape). Scale path: the centroid set is tiny (|table| / IVF_MOD) →
+# broadcast; assignment is one map-side argmax per vector (no shuffle
+# beyond the partial-aggregate combine); the probe join is an equi-join on
+# cluster id against the inverted list — the IVF analog of ann_lsh_topk's
+# bucket join.
+IVF_MOD = 29
+IVF_RES = 5
+N_PROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat cosine top-k: search the N_PROBE nearest coarse clusters."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") % IVF_MOD == IVF_RES).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_c",
+        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))),
+    )
+    # coarse assignment: argmax cosine, ties to the smallest centroid id
+    # (min over the (-cos, cid) struct = one map-side partial aggregate)
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct((-F.col("cos_c")).alias("neg"), F.col("cid").alias("cid"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "v")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = cand.withColumn(
+        "cos", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("cos") * F.lit(10000.0)).cast("long").alias("cos_bp"),
+        )
+    )
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label count + total L2 norm (exact decimal total)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -151,6 +211,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_embedding_stats": embedding_stats,
     "ann_neardup_pairs": embedding_neardup_pairs,
 }
@@ -216,6 +277,40 @@ ORACLES = {
             FROM sim
         )
         SELECT query_id, neighbor_id, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_ivf_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_MOD} = {IVF_RES}),
+        scored AS (
+            SELECT e.vec_id, e.v, cent.cid,
+                   {_dot_sql('e.v', 'cent.cv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('cent.cv', 'cent.cv')})) AS cos_c
+            FROM e, cent
+        ),
+        assign AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT vec_id, v, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+                FROM scored) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, v AS qv, cid FROM (
+                SELECT vec_id, v, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+                FROM scored WHERE vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}
+        ),
+        sim AS (
+            SELECT p.query_id, a.vec_id,
+                   {_dot_sql('a.v', 'p.qv')} / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('p.qv', 'p.qv')})) AS cos
+            FROM assign a JOIN probes p ON a.cid = p.cid AND a.vec_id != p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id AS neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+            FROM sim
+        )
+        SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+               CAST(round(cos * 10000.0) AS BIGINT) AS cos_bp
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_embedding_stats": f"""

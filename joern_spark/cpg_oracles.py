@@ -1853,6 +1853,79 @@ UNION ALL SELECT * FROM q51 UNION ALL SELECT * FROM q52
 UNION ALL SELECT * FROM q53 UNION ALL SELECT * FROM q54
 """
 
+# ---- per-method metrics (querydb Metrics.scala analog + cyclomatic) -------
+
+_METRICS_SQL = f"""
+WITH n AS (SELECT * FROM {_N}), e AS (SELECT * FROM {_E}),
+m AS (
+    SELECT node_id AS method_id, doc_id, full_name AS method_full_name
+    FROM n WHERE kind = 'METHOD' AND NOT is_external AND name != '<global>'
+),
+params AS (SELECT method_id, count(*) AS n_params FROM n
+           WHERE kind = 'METHOD_PARAMETER_IN' GROUP BY 1),
+ctrl AS (SELECT method_id, count(*) AS n_control FROM n
+         WHERE kind = 'CONTROL_STRUCTURE' GROUP BY 1),
+loops AS (SELECT method_id, count(*) AS n_loops FROM n
+          WHERE kind = 'CONTROL_STRUCTURE'
+            AND ctrl_type IN ('FOR', 'DO', 'WHILE') GROUP BY 1),
+rets AS (SELECT method_id, count(*) AS n_returns FROM n
+         WHERE kind = 'RETURN' GROUP BY 1),
+cfge AS (SELECT method_id, count(*) AS cfg_edges FROM e
+         WHERE kind = 'CFG' GROUP BY 1),
+cfgn AS (SELECT method_id, count(*) AS cfg_nodes FROM (
+             SELECT DISTINCT method_id, nid FROM (
+                 SELECT method_id, src AS nid FROM e WHERE kind = 'CFG'
+                 UNION ALL
+                 SELECT method_id, dst AS nid FROM e WHERE kind = 'CFG'))
+         GROUP BY 1)
+SELECT m.doc_id, m.method_full_name,
+       CAST(coalesce(params.n_params, 0) AS BIGINT) AS n_params,
+       CAST(coalesce(ctrl.n_control, 0) AS BIGINT) AS n_control,
+       CAST(coalesce(loops.n_loops, 0) AS BIGINT) AS n_loops,
+       CAST(coalesce(rets.n_returns, 0) AS BIGINT) AS n_returns,
+       CAST(coalesce(cfge.cfg_edges, 0) AS BIGINT) AS cfg_edges,
+       CAST(coalesce(cfgn.cfg_nodes, 0) AS BIGINT) AS cfg_nodes,
+       CAST(coalesce(cfge.cfg_edges, 0) - coalesce(cfgn.cfg_nodes, 0) + 2
+            AS BIGINT) AS cyclomatic
+FROM m
+LEFT JOIN params USING (method_id)
+LEFT JOIN ctrl USING (method_id)
+LEFT JOIN loops USING (method_id)
+LEFT JOIN rets USING (method_id)
+LEFT JOIN cfge USING (method_id)
+LEFT JOIN cfgn USING (method_id)
+"""
+
+# ---- bounded transitive call closure (method.repeat(_.callee) analog) -----
+# hop bound mirrors operators/graph_metrics.CLOSURE_MAX_HOPS; the recursive
+# UNION dedups (root, dst, hops) rows so cycles terminate, and the final
+# MIN(hops) GROUP BY matches the BFS's first-visit (minimum-depth) semantics.
+
+_CLOSURE_MAX_HOPS = 6
+
+_CALL_CLOSURE_SQL = f"""
+WITH RECURSIVE base AS (
+    SELECT DISTINCT ns.method_id AS caller_mid, e.dst AS callee_mid
+    FROM {_E} e JOIN {_N} ns ON e.src = ns.node_id
+    WHERE e.kind = 'CALL'
+),
+reach AS (
+    SELECT caller_mid AS root_mid, callee_mid AS dst_mid, 1 AS hops FROM base
+    UNION
+    SELECT r.root_mid, b.callee_mid, r.hops + 1
+    FROM reach r JOIN base b ON b.caller_mid = r.dst_mid
+    WHERE r.hops < {_CLOSURE_MAX_HOPS}
+),
+pairs AS (SELECT root_mid, dst_mid, MIN(hops) AS hops FROM reach GROUP BY 1, 2),
+names AS (SELECT node_id AS mid, full_name AS fn FROM {_N} WHERE kind = 'METHOD')
+SELECT a.fn AS src_full_name, b.fn AS dst_full_name,
+       CAST(MIN(p.hops) AS BIGINT) AS hops
+FROM pairs p
+JOIN names a ON a.mid = p.root_mid
+JOIN names b ON b.mid = p.dst_mid
+GROUP BY 1, 2
+"""
+
 ORACLES = {
     "cpg_span_provenance": _SPAN_SQL,
     "cpg_triples": _TRIPLES_SQL,
@@ -1864,4 +1937,6 @@ ORACLES = {
     "cpg_canonical_symbols": _CANON_SQL,
     "cpg_vectors": _VECTORS_SQL,
     "cpg_scan_findings": _SCAN_SQL,
+    "cpg_method_metrics": _METRICS_SQL,
+    "cpg_call_closure": _CALL_CLOSURE_SQL,
 }
