@@ -179,8 +179,50 @@ def cpg_call_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return call_closure(res.nodes, res.edges)
 
 
+def cpg_type_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TypeHierarchyPass closure (typeDecl.derivedTypeDeclTransitive analog):
+    transitive subclass→superclass full-name pairs incl. reflexive rows."""
+    from joern_spark.operators.callgraph import inheritance_closure
+
+    res = _cpg(spark, sf_dir)
+    return inheritance_closure(res.nodes, res.edges).select(
+        F.col("sub").alias("sub_full_name"), F.col("sup").alias("sup_full_name"))
+
+
+def cpg_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance step (.location / .dump, NodeSteps.scala:26-85): hot call
+    sites joined back to the exact source span they were parsed from."""
+    from joern_spark.query import Cpg
+
+    res = _cpg(spark, sf_dir)
+    q = Cpg(nodes=res.nodes, edges=res.edges)
+    return (
+        q.call("^(malloc|printf|log)$").location(res.spans)
+        .select("node_id", "doc_id",
+                F.col("line").cast("long").alias("line"), "code", "span_text")
+    )
+
+
+def cpg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG degree statistics: out-degree histogram per edge kind.
+
+    Two-level rollup — per-(kind, src) count is a map-side partial aggregate
+    into one shuffle, the histogram re-aggregates the (tiny) degree space;
+    the 100 TB shape for graph-profile dashboards."""
+    res = _cpg(spark, sf_dir)
+    deg = res.edges.groupBy("kind", "src").agg(F.count("*").alias("deg"))
+    return (
+        deg.groupBy(F.col("kind").alias("edge_kind"), "deg")
+        .agg(F.count("*").alias("n_nodes"))
+        .select("edge_kind", F.col("deg").alias("out_degree"), "n_nodes")
+    )
+
+
 _CPG_QUERIES = {
     "cpg_triples": cpg_triples,
+    "cpg_type_hierarchy": cpg_type_hierarchy,
+    "cpg_locations": cpg_locations,
+    "cpg_degree_hist": cpg_degree_hist,
     "cpg_method_metrics": cpg_method_metrics,
     "cpg_call_closure": cpg_call_closure,
     "cpg_dependencies": cpg_dependencies,

@@ -1926,8 +1926,62 @@ JOIN names b ON b.mid = p.dst_mid
 GROUP BY 1, 2
 """
 
+# ---- transitive type hierarchy (TypeHierarchyPass / derivedTypeDecl) ------
+# mirrors operators/callgraph.inheritance_closure: INHERITS_FROM base pairs
+# (TYPE_DECL full_name → TYPE full_name), name-keyed transitive closure, plus
+# the reflexive pair for every TYPE_DECL.
+
+_TYPE_HIERARCHY_SQL = f"""
+WITH RECURSIVE
+decls AS (SELECT node_id, full_name FROM {_N} WHERE kind = 'TYPE_DECL'),
+types AS (SELECT node_id, full_name FROM {_N} WHERE kind = 'TYPE'),
+base AS (
+    SELECT DISTINCT d.full_name AS sub, t.full_name AS sup
+    FROM {_E} e
+    JOIN decls d ON e.src = d.node_id
+    JOIN types t ON e.dst = t.node_id
+    WHERE e.kind = 'INHERITS_FROM'
+),
+reach AS (
+    SELECT sub, sup FROM base
+    UNION
+    SELECT r.sub, b.sup FROM reach r JOIN base b ON b.sub = r.sup
+)
+SELECT DISTINCT sub AS sub_full_name, sup AS sup_full_name FROM (
+    SELECT sub, sup FROM reach
+    UNION
+    SELECT full_name AS sub, full_name AS sup FROM decls
+)
+"""
+
+# ---- .location provenance (NodeSteps.scala:26-85) --------------------------
+# hot call sites joined back to their source span by (doc_id, span_offset)
+
+_LOCATIONS_SQL = f"""
+WITH calls AS (
+    SELECT node_id, doc_id, CAST(line AS BIGINT) AS line, code, span_offset
+    FROM {_N}
+    WHERE kind = 'CALL' AND regexp_matches(name, '^(malloc|printf|log)$')
+)
+SELECT c.node_id, c.doc_id, c.line, c.code, s.text AS span_text
+FROM calls c
+LEFT JOIN {_S} s ON s.doc_id = c.doc_id AND s.span_offset = c.span_offset
+"""
+
+# ---- KG degree statistics ---------------------------------------------------
+
+_DEGREE_HIST_SQL = f"""
+SELECT kind AS edge_kind, CAST(deg AS BIGINT) AS out_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT kind, src, count(*) AS deg FROM {_E} GROUP BY 1, 2)
+GROUP BY 1, 2
+"""
+
 ORACLES = {
     "cpg_span_provenance": _SPAN_SQL,
+    "cpg_type_hierarchy": _TYPE_HIERARCHY_SQL,
+    "cpg_locations": _LOCATIONS_SQL,
+    "cpg_degree_hist": _DEGREE_HIST_SQL,
     "cpg_triples": _TRIPLES_SQL,
     "cpg_cfg_edges": _CFG_SQL,
     "cpg_reaching_def": _RD_SQL,
