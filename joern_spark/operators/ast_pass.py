@@ -12,12 +12,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..frontend.lowering import lower_doc
-from ..schema import CPGROW_SCHEMA_DDL, EDGE_COLUMNS, NODE_COLUMNS
+from ..schema import CPGROW_SCHEMA_DDL, EDGE_COLUMNS, NODE_COLUMNS, arrow_schema
 
 _ALL_COLUMNS = [c.strip().split(" ")[0] for c in CPGROW_SCHEMA_DDL.split(", ")]
 
@@ -32,11 +31,11 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
         node_rows, edge_rows, span_rows = lower_doc(doc_id, span_dicts)
     except Exception as exc:  # total function: a bad doc degrades, not fails
         return [{"rowtype": "error", "doc_id": doc_id, "code": repr(exc)[:500]}]
-    out: list[dict] = []
+    # node rows are built fresh per lower_doc call (dict(_EMPTY_ROW) copies),
+    # so tag them in place rather than copying ~20-key dicts again
+    out: list[dict] = node_rows
     for n in node_rows:
-        r = dict(n)
-        r["rowtype"] = "node"
-        out.append(r)
+        n["rowtype"] = "node"
     for e in edge_rows:
         out.append({
             "rowtype": "edge", "doc_id": doc_id, "method_id": e["method_id"],
@@ -52,30 +51,29 @@ def _rows_for_doc(doc_id: str, spans) -> list[dict]:
 
 
 def parse_docs(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, spans) → unified CPG row stream."""
+    """docs(doc_id, spans) → unified CPG row stream.
 
-    # the unified stream mixes node and edge rows, so every id column has
-    # nulls; they MUST be nullable Int64 (not float64) or 64-bit hash ids
-    # silently lose precision above 2^53
-    _ID_COLS = ["node_id", "parent_id", "method_id", "edge_src", "edge_dst",
-                "order", "argument_index", "line", "span_offset"]
+    Arrow-native batching (``mapInArrow`` + ``pa.Table.from_pylist``): the
+    row dicts become Arrow columns in one C++ pass, with Python ints landing
+    in int64 EXACTLY — no pandas object-frame build, no per-column
+    ``astype("Int64")``, and no float64 window where a 64-bit hash id could
+    round (CLAUDE.md's 2^53 hazard never exists on this path).
+    """
+    import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    schema = arrow_schema(CPGROW_SCHEMA_DDL)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
             rows: list[dict] = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                     batch.column("spans").to_pylist()):
                 rows.extend(_rows_for_doc(doc_id, spans))
-            # dtype=object first: letting pandas infer would coerce
-            # int-with-null columns to float64 at construction time
-            out = pd.DataFrame(rows, dtype=object)
-            for col in _ALL_COLUMNS:
-                if col not in out.columns:
-                    out[col] = None
-            for col in _ID_COLS:
-                out[col] = out[col].astype("Int64")
-            yield out[_ALL_COLUMNS]
+            # from_pylist(schema=...) null-fills missing keys, so sparse
+            # node/edge/span rows need no per-row column padding
+            yield from pa.Table.from_pylist(rows, schema=schema).to_batches()
 
-    return docs.mapInPandas(run, schema=CPGROW_SCHEMA_DDL)
+    return docs.mapInArrow(run, schema=CPGROW_SCHEMA_DDL)
 
 
 def split_rows(cpg_rows: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -1,5 +1,5 @@
 """Fused per-method kernel pass: CFG + dominators/CDG + reaching-def in ONE
-shuffle-free ``mapInPandas`` over the doc-partitioned parse output.
+shuffle-free ``mapInArrow`` over the doc-partitioned parse output.
 
 Why: the separate ``applyInPandas`` passes are semantically right but
 physically wasteful — each one shuffles every node row by ``method_id`` and
@@ -24,12 +24,11 @@ from __future__ import annotations
 from collections import defaultdict
 from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..ids import stub_id
-from ..schema import EDGES_SCHEMA_DDL
+from ..schema import EDGES_SCHEMA_DDL, arrow_schema
 from .cfg_pass import cfg_edges_for_method
 from .dominators import dominator_edges_for_method
 from .reaching_def import reaching_def_edges_for_method
@@ -95,13 +94,20 @@ def fused_method_kernels(
     else:
         ret_types = members = class_by_id = None
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    out_schema = arrow_schema(EDGES_SCHEMA_DDL)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         # STREAMING group-by: a document's rows are contiguous in the parse
         # output (one parse call emits the whole doc, and this pass sits
         # shuffle-free on top of it), so methods complete at doc boundaries.
         # Peak memory = one document + the output buffer — O(doc), not
         # O(partition) — restoring Arrow streaming semantics. A reappearing
         # doc_id would mean the contiguity assumption broke: fail loudly.
+        # Arrow-native row I/O: ``to_pylist`` hands the kernels plain dicts
+        # with exact int64 ids and None nulls (no pandas records pass), and
+        # ``from_pylist`` lands the output the same way.
         out_rows: list[dict] = []
 
         def process(buf: dict[int, list[dict]]) -> None:
@@ -141,17 +147,16 @@ def fused_method_kernels(
         buf: dict[int, list[dict]] = defaultdict(list)
         cur_doc: str | None = None
         seen_docs: set[str] = set()
-        for pdf in batches:
-            for r in pdf.to_dict("records"):
+        for batch in batches:
+            for r in batch.to_pylist():
                 d = r["doc_id"]
                 if d != cur_doc:
                     if cur_doc is not None:
                         process(buf)
                         buf = defaultdict(list)
                         if len(out_rows) >= _YIELD_EVERY:
-                            yield pd.DataFrame(out_rows, columns=[
-                                "src", "dst", "kind", "variable", "doc_id",
-                                "method_id"])
+                            yield from pa.Table.from_pylist(
+                                out_rows, schema=out_schema).to_batches()
                             out_rows = []
                     if d in seen_docs:
                         raise ValueError(
@@ -162,7 +167,6 @@ def fused_method_kernels(
                     cur_doc = d
                 buf[r["method_id"]].append(r)
         process(buf)
-        yield pd.DataFrame(out_rows, columns=[
-            "src", "dst", "kind", "variable", "doc_id", "method_id"])
+        yield from pa.Table.from_pylist(out_rows, schema=out_schema).to_batches()
 
-    return src.mapInPandas(run, schema=EDGES_SCHEMA_DDL)
+    return src.mapInArrow(run, schema=EDGES_SCHEMA_DDL)

@@ -102,3 +102,19 @@ def rows_to_pdf(rows, columns):
         if c in out.columns:
             out[c] = out[c].astype("Int64")
     return out
+
+
+def arrow_schema(ddl: str):
+    """Spark DDL string → the pyarrow schema ``mapInArrow`` must yield.
+
+    The Arrow-native sibling of :func:`rows_to_pdf`: ``pa.Table.from_pylist``
+    against this schema lands Python ints in int64 EXACTLY (missing keys
+    null-fill), so the 2^53 float64 hazard structurally cannot occur."""
+    import pyarrow as pa
+
+    _T = {"string": pa.string(), "long": pa.int64(), "int": pa.int32(),
+          "boolean": pa.bool_()}
+    return pa.schema(
+        pa.field(name, _T[typ])
+        for name, typ in (c.strip().split(" ") for c in ddl.split(", "))
+    )

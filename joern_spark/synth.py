@@ -304,6 +304,33 @@ def asm_code_for_key(k: int, helper: str) -> str:
     )
 
 
+def synth_code_for_key(k: int, helper: str) -> str:
+    """The corpus language dispatch: each ``k % 11`` residue is one
+    language slice (shared by :func:`synth_docs` and the parse profiler so
+    single-process attribution sees the same doc mix the pipeline parses)."""
+    if k % 11 == 3:
+        return js_code_for_key(k, helper)
+    if k % 11 == 5:
+        return jimple_code_for_key(k, helper)
+    if k % 11 == 7:
+        return py_code_for_key(k, helper)
+    if k % 11 == 9:
+        return php_code_for_key(k, helper)
+    if k % 11 == 1:
+        return kotlin_code_for_key(k, helper)
+    if k % 11 == 6:
+        return swift_code_for_key(k, helper)
+    if k % 11 == 2:
+        return go_code_for_key(k, helper)
+    if k % 11 == 4:
+        return ruby_code_for_key(k, helper)
+    if k % 11 == 8:
+        return csharp_code_for_key(k, helper)
+    if k % 11 == 10:
+        return asm_code_for_key(k, helper)
+    return code_for_key(k, helper)
+
+
 def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame:
     """documents(doc_id, ...) → docs(doc_id, spans) per the input hint.
 
@@ -321,28 +348,7 @@ def synth_docs(documents: DataFrame, partitions: int | None = None) -> DataFrame
             for doc_id in pdf["doc_id"].astype(str):
                 k = synth_key(doc_id)
                 helper = f"helper_{k % 1000000:06d}"
-                if k % 11 == 3:
-                    code = js_code_for_key(k, helper)
-                elif k % 11 == 5:
-                    code = jimple_code_for_key(k, helper)
-                elif k % 11 == 7:
-                    code = py_code_for_key(k, helper)
-                elif k % 11 == 9:
-                    code = php_code_for_key(k, helper)
-                elif k % 11 == 1:
-                    code = kotlin_code_for_key(k, helper)
-                elif k % 11 == 6:
-                    code = swift_code_for_key(k, helper)
-                elif k % 11 == 2:
-                    code = go_code_for_key(k, helper)
-                elif k % 11 == 4:
-                    code = ruby_code_for_key(k, helper)
-                elif k % 11 == 8:
-                    code = csharp_code_for_key(k, helper)
-                elif k % 11 == 10:
-                    code = asm_code_for_key(k, helper)
-                else:
-                    code = code_for_key(k, helper)
+                code = synth_code_for_key(k, helper)
                 spans = split_code_spans(code, 3)
                 if k % 5 == 0:
                     spans = with_media(spans, [f"bin://artifact-{doc_id}"], [1])
