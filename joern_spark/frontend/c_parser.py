@@ -48,6 +48,8 @@ _BIN_LEVELS = [
     ["+", "-"],
     ["*", "/", "%"],
 ]
+# operator text → precedence level (texts are disjoint across levels)
+_BIN_LEVEL_OF = {op: lvl for lvl, ops in enumerate(_BIN_LEVELS) for op in ops}
 
 
 class CParser:
@@ -697,14 +699,32 @@ class CParser:
         return cond
 
     def parse_binary(self, level: int) -> AstNode | None:
-        if level >= len(_BIN_LEVELS):
-            return self.parse_unary()
+        # precedence climbing — tree-, pos-, and code-identical to the
+        # 10-level recursive cascade it replaces, but one parse_unary call
+        # per operand instead of len(_BIN_LEVELS) frames per expression
+        # (the cascade was 16x the call count of the expressions it parsed)
         start = self.peek()
-        lhs = self.parse_binary(level + 1)
-        while lhs is not None and self.peek() is not None and self.peek().text in _BIN_LEVELS[level]:
-            op = self.eat()
-            rhs = self.parse_binary(level + 1)
-            call = operator_call(BINARY_OPERATOR_NAMES[op.text], "", start.pos, start.line)
+        lhs = self.parse_unary()
+        return self._climb_binary(lhs, level, start)
+
+    def _climb_binary(self, lhs: AstNode | None, min_level: int,
+                      start: Token | None) -> AstNode | None:
+        toks, n, get = self.toks, len(self.toks), _BIN_LEVEL_OF.get
+        while lhs is not None and self.i < n:
+            lvl = get(toks[self.i].text, -1)
+            if lvl < min_level:
+                break
+            op = toks[self.i]
+            self.i += 1
+            rhs_start = toks[self.i] if self.i < n else None
+            rhs = self.parse_unary()
+            while rhs is not None and self.i < n:
+                nxt = get(toks[self.i].text, -1)
+                if nxt <= lvl:
+                    break
+                rhs = self._climb_binary(rhs, nxt, rhs_start)
+            call = operator_call(BINARY_OPERATOR_NAMES[op.text], "",
+                                 start.pos, start.line)
             call.add(lhs, order=1, argument_index=1)
             if rhs is not None:
                 call.add(rhs, order=2, argument_index=2)

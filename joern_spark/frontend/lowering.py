@@ -13,6 +13,7 @@ deterministic ids, so any partition can be recomputed independently.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Any
 
@@ -158,9 +159,23 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     edges: list[dict] = []
     counter = [0]
 
+    # per-offset blake2b prefix hashers: node_id(doc, off, ctr) hashes
+    # "n\x1fdoc\x1foff\x1fctr"; the prefix up to the counter is constant per
+    # span offset, so hash it once and .copy() per node (bit-identical to
+    # ids.node_id — locked by test_ids_prefix_equivalence)
+    _id_pref: dict[int, "hashlib._Hash"] = {}
+
     def next_id(pos: int) -> int:
         counter[0] += 1
-        return node_id(doc_id, span_of(pos), counter[0])
+        off = span_of(pos)
+        h = _id_pref.get(off)
+        if h is None:
+            h = hashlib.blake2b(
+                f"n\x1f{doc_id}\x1f{off}\x1f".encode("utf-8"), digest_size=8)
+            _id_pref[off] = h
+        h = h.copy()
+        h.update(str(counter[0]).encode("utf-8"))
+        return int.from_bytes(h.digest(), "big") >> 1
 
     # FILE node
     file_id = node_id(doc_id, -1, 0)
@@ -290,19 +305,21 @@ def lower_doc(doc_id: str, spans: list[dict[str, Any]]) -> tuple[list[dict], lis
     def emit(n: AstNode, parent_id: int | None, method_id: int | None,
              scope_root_id: int | None) -> int:
         nid = next_id(n.pos)
-        row = _empty_node_row()
-        row.update(
-            node_id=nid, doc_id=doc_id, kind=n.kind, name=n.name,
-            full_name=n.full_name, code=n.code, signature=n.signature,
-            dispatch_type=n.dispatch_type, order=int(n.order),
-            argument_index=int(n.argument_index), line=int(n.line),
-            span_offset=span_of(n.pos), type_full_name=n.type_full_name,
-            is_external=bool(n.is_external), media_ref="",
-            parent_id=parent_id, ctrl_type=n.ctrl_type, filename=doc_id,
-        )
-        nodes.append(row)
         this_method = nid if n.kind == "METHOD" else method_id
-        row["method_id"] = this_method if n.kind != "METHOD" else nid
+        # one dict literal (hot path: one per CPG node) — same keys as
+        # _empty_node_row, built in a single pass instead of copy+update
+        row = {
+            "node_id": nid, "doc_id": doc_id, "kind": n.kind, "name": n.name,
+            "full_name": n.full_name, "code": n.code,
+            "signature": n.signature, "dispatch_type": n.dispatch_type,
+            "order": int(n.order), "argument_index": int(n.argument_index),
+            "line": int(n.line), "span_offset": span_of(n.pos),
+            "type_full_name": n.type_full_name,
+            "is_external": bool(n.is_external), "media_ref": "",
+            "parent_id": parent_id, "method_id": this_method,
+            "ctrl_type": n.ctrl_type, "filename": doc_id,
+        }
+        nodes.append(row)
         this_scope = nid if n.kind in _CONTAINS_ROOTS else scope_root_id
         if parent_id is not None:
             edges.append(_edge(parent_id, nid, "AST", doc_id, this_method))

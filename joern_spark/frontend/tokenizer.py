@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from typing import NamedTuple
 
 KEYWORDS = {
     # C
@@ -51,8 +51,10 @@ _TOKEN_RE = re.compile(
 )
 
 
-@dataclass(frozen=True)
-class Token:
+class Token(NamedTuple):
+    # NamedTuple, not frozen dataclass: tokenization creates one of these per
+    # token and the frozen-dataclass __init__ (4 object.__setattr__ calls)
+    # was a measurable share of the parse floor
     kind: str  # ident | kw | num | str | char | op
     text: str
     pos: int  # char offset into the concatenated code text
