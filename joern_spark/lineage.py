@@ -76,8 +76,17 @@ def commit_snapshot(spark: SparkSession, df: DataFrame, out_dir: str,
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(data_dir)
+    # snapshot log: Iceberg's metadata.json keeps every committed snapshot's
+    # (id, timestamp) even after its data files are expired — that log is
+    # what VERSION/TIMESTAMP AS OF resolves against. Same here: the manifest
+    # carries the full history; read_snapshot() serves any entry whose data
+    # directory is still retained and fails loudly on an expired one.
+    log = list(prev.get("snapshots", []))
+    log.append({"id": snap, "ts_ms": int(time.time() * 1000),
+                "data_dir": data_dir})
     write_manifest(out_dir, stage, part_ids, complete=True,
-                   extra={"snapshot": snap, "data_dir": data_dir})
+                   extra={"snapshot": snap, "data_dir": data_dir,
+                          "snapshots": log})
     for name in sorted(os.listdir(data_root)):
         try:
             n = int(name.rsplit("-", 1)[1])
@@ -88,14 +97,57 @@ def commit_snapshot(spark: SparkSession, df: DataFrame, out_dir: str,
     return spark.read.parquet(data_dir)
 
 
-def read_snapshot(spark: SparkSession, out_dir: str, stage: str) -> DataFrame | None:
-    """Resolve a stage's current snapshot via its manifest pointer; ``None``
-    unless a complete snapshot is visible (torn writes are invisible: an
-    unflipped ``snap-*`` dir is never returned)."""
+def read_snapshot(spark: SparkSession, out_dir: str, stage: str,
+                  snapshot_id: int | None = None,
+                  as_of_ms: int | None = None) -> DataFrame | None:
+    """Resolve a stage snapshot via its manifest pointer — optionally back in
+    time (Iceberg ``VERSION AS OF`` / ``TIMESTAMP AS OF`` semantics).
+
+    - default: the current snapshot; ``None`` unless a complete one is
+      visible (torn writes are invisible: an unflipped ``snap-*`` dir is
+      never returned).
+    - ``snapshot_id=n``: that exact committed snapshot.
+    - ``as_of_ms=t``: the snapshot current at time ``t`` — the latest whose
+      commit timestamp is ≤ ``t`` (``None`` if the stage had no snapshot yet
+      at ``t``).
+    Explicitly requested snapshots whose data directories were retired by
+    ``keep_snapshots`` raise ``ValueError`` — an expired read must fail
+    loudly, never silently serve the wrong version.
+    """
     m = read_manifest(out_dir, stage)
-    if m and m.get("complete") and m.get("data_dir") and os.path.isdir(m["data_dir"]):
-        return spark.read.parquet(m["data_dir"])
-    return None
+    if not (m and m.get("complete")):
+        return None
+    if snapshot_id is None and as_of_ms is None:
+        if m.get("data_dir") and os.path.isdir(m["data_dir"]):
+            return spark.read.parquet(m["data_dir"])
+        return None
+    log = m.get("snapshots", [])
+    if snapshot_id is not None:
+        hits = [s for s in log if s["id"] == snapshot_id]
+        if not hits:
+            raise ValueError(
+                f"stage {stage!r} has no snapshot {snapshot_id}; "
+                f"log has ids {[s['id'] for s in log]}")
+        entry = hits[0]
+    else:
+        at_or_before = [s for s in log if s["ts_ms"] <= as_of_ms]
+        if not at_or_before:
+            return None
+        entry = max(at_or_before, key=lambda s: s["ts_ms"])
+    if not os.path.isdir(entry["data_dir"]):
+        raise ValueError(
+            f"stage {stage!r} snapshot {entry['id']} has been expired "
+            f"(data dir {entry['data_dir']} retired by keep_snapshots); "
+            "raise keep_snapshots on commit_snapshot to retain more history")
+    return spark.read.parquet(entry["data_dir"])
+
+
+def snapshot_history(out_dir: str, stage: str) -> list[dict]:
+    """The stage's committed-snapshot log (oldest first): one
+    ``{id, ts_ms, data_dir}`` row per commit, including expired snapshots
+    (Iceberg keeps the full log in metadata; only data files are retired)."""
+    m = read_manifest(out_dir, stage) or {}
+    return list(m.get("snapshots", []))
 
 
 def lineage_rows(df: DataFrame, stage: str, duration_ms: int,

@@ -6,6 +6,7 @@ import shutil
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from joern_spark.corpus import fixture_docs_df
 from joern_spark.pipeline import run_pipeline
@@ -96,3 +97,44 @@ def test_snapshot_commit_survives_torn_write(spark, out_dir):
     assert m2["data_dir"] != committed_dir
     ast_m = read_manifest(out_dir, "ast")
     assert torn_ast not in ast_m["data_dirs"]
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """VERSION/TIMESTAMP AS OF over the snapshot log: every commit appends
+    an (id, ts_ms) entry; any retained snapshot is readable by id or by
+    timestamp, and an expired one fails loudly (Iceberg time-travel
+    semantics over the manifest-pointer proxy)."""
+    import pytest as _pytest
+
+    from joern_spark.lineage import (commit_snapshot, read_snapshot,
+                                     snapshot_history)
+
+    d = str(tmp_path / "tt")
+    for version in (1, 2, 3):
+        df = spark.range(version * 10).select(
+            F.col("id"), F.lit(version).alias("v"))
+        commit_snapshot(spark, df, d, "tbl", part_ids=[0],
+                        keep_snapshots=2)
+
+    log = snapshot_history(d, "tbl")
+    assert [s["id"] for s in log] == [1, 2, 3]
+    assert log[0]["ts_ms"] <= log[1]["ts_ms"] <= log[2]["ts_ms"]
+
+    # default read = current snapshot
+    cur = read_snapshot(spark, d, "tbl")
+    assert cur.count() == 30 and cur.agg(F.max("v")).first()[0] == 3
+    # VERSION AS OF a retained older snapshot
+    v2 = read_snapshot(spark, d, "tbl", snapshot_id=2)
+    assert v2.count() == 20 and v2.agg(F.max("v")).first()[0] == 2
+    # TIMESTAMP AS OF: the snapshot current at snap-2's commit time
+    t2 = read_snapshot(spark, d, "tbl", as_of_ms=log[1]["ts_ms"])
+    assert t2.agg(F.max("v")).first()[0] == 2
+    # before the first commit there was nothing
+    assert read_snapshot(spark, d, "tbl",
+                         as_of_ms=log[0]["ts_ms"] - 1) is None
+    # snap-1's data was retired by keep_snapshots=2: loud failure, and the
+    # log still records it (metadata outlives data, as in Iceberg)
+    with _pytest.raises(ValueError, match="expired"):
+        read_snapshot(spark, d, "tbl", snapshot_id=1)
+    with _pytest.raises(ValueError, match="no snapshot 9"):
+        read_snapshot(spark, d, "tbl", snapshot_id=9)
