@@ -446,15 +446,45 @@ class CParser:
             while self.at("*"):
                 self.eat()
                 stars += "*"
-            if not self.at_kind("ident"):
-                break
-            name_tok = self.eat()
-            full_type = base_type + stars
-            while self.at("["):
-                while self.peek() is not None and not self.at("]"):
+            if self.at("(") and self.at("*", 1):
+                # function-pointer declarator: T (*name)(params) [= init] —
+                # c2cpg (CDT) models this as a LOCAL typed "T (*)(params)"
+                # whose initializer assignment carries the METHOD_REF rhs
+                # (the shape XTypeRecovery's identifier-assigned-method-ref
+                # rule and XTypeHintCallLinker consume)
+                self.eat()
+                ptr = ""
+                while self.at("*"):
                     self.eat()
-                self.accept("]")
-                full_type += "[]"
+                    ptr += "*"
+                if not self.at_kind("ident"):
+                    break
+                name_tok = self.eat()
+                self.accept(")")
+                param_src = ""
+                if self.at("("):
+                    p0 = self.peek().pos
+                    depth = 0
+                    while self.peek() is not None:
+                        tk = self.eat()
+                        if tk.text == "(":
+                            depth += 1
+                        elif tk.text == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    param_src = self.text[p0:self._prev_end()]
+                full_type = f"{base_type}{stars} ({ptr}){param_src}"
+            elif not self.at_kind("ident"):
+                break
+            else:
+                name_tok = self.eat()
+                full_type = base_type + stars
+                while self.at("["):
+                    while self.peek() is not None and not self.at("]"):
+                        self.eat()
+                    self.accept("]")
+                    full_type += "[]"
             local = AstNode(kind="LOCAL", name=name_tok.text,
                             code=f"{full_type} {name_tok.text}".strip(),
                             pos=start.pos, line=name_tok.line,
@@ -466,8 +496,13 @@ class CParser:
                 lhs = AstNode(kind="IDENTIFIER", name=name_tok.text,
                               code=name_tok.text, pos=name_tok.pos,
                               line=name_tok.line, type_full_name=full_type or "ANY")
-                call = operator_call("<operator>.assignment",
-                                     self.text[name_tok.pos:self._prev_end()].strip(),
+                # a fn-ptr declarator's name sits inside "(*name)(...)", so a
+                # raw name_tok.pos slice would drag the ")(params)" junk into
+                # the code — render the canonical "name = rhs" instead
+                a_code = (f"{name_tok.text} = {rhs.code}" if "(" in full_type
+                          and rhs is not None
+                          else self.text[name_tok.pos:self._prev_end()].strip())
+                call = operator_call("<operator>.assignment", a_code,
                                      name_tok.pos, name_tok.line)
                 call.add(lhs, order=1, argument_index=1)
                 if rhs is not None:

@@ -500,6 +500,58 @@ def dynamic_type_hints(nodes: DataFrame, edges: DataFrame,
     )
 
 
+def _method_ref_candidates(nodes: DataFrame) -> DataFrame:
+    """Function-pointer call candidates: ``fp = someFunc; fp(...)`` links the
+    call on ``fp`` to ``someFunc``.
+
+    Reference: XTypeRecovery's identifier-assigned-METHOD_REF rule feeding
+    ``XTypeHintCallLinker.scala:22-90`` (a variable holding a method ref
+    types calls through that variable with the ref's full name). Scoped
+    per-method on (method_id, var name) — a ref assigned in one function
+    never links calls in another; both join dims (method-ref assignments,
+    internal methods) are vocabulary-sized and broadcast under budget."""
+    assigns = nodes.filter(
+        (F.col("kind") == "CALL") & (F.col("name") == "<operator>.assignment")
+    ).select(F.col("node_id").alias("a_id"))
+    kids = nodes.filter(F.col("argument_index").isNotNull()).select(
+        "node_id", "parent_id", "argument_index", "kind", "name",
+        "full_name", "method_id",
+    )
+    lhs = (
+        assigns.join(kids, (F.col("a_id") == kids["parent_id"])
+                     & (kids["argument_index"] == 1)
+                     & (kids["kind"] == "IDENTIFIER"))
+        .select("a_id", F.col("method_id").alias("v_mid"),
+                F.col("name").alias("v_name"))
+    )
+    rhs = (
+        assigns.join(kids, (F.col("a_id") == kids["parent_id"])
+                     & (kids["argument_index"] == 2)
+                     & (kids["kind"] == "METHOD_REF"))
+        .select("a_id", F.col("full_name").alias("ref_full"))
+    )
+    var_refs = lhs.join(rhs, "a_id").select("v_mid", "v_name", "ref_full") \
+        .distinct()
+    methods = nodes.filter(
+        (F.col("kind") == "METHOD") & (~F.col("is_external"))
+    ).select(F.col("full_name").alias("ref_full"), F.col("node_id").alias("m_id"))
+    calls = nodes.filter(F.col("kind") == "CALL").select(
+        F.col("node_id").alias("src"), F.col("name").alias("c_name"),
+        "method_id", "doc_id",
+    )
+    return (
+        calls.join(budgeted_broadcast(var_refs),
+                   (calls["method_id"] == F.col("v_mid"))
+                   & (calls["c_name"] == F.col("v_name")))
+        .join(budgeted_broadcast(methods), "ref_full")
+        .select(
+            "src", F.col("m_id").alias("dst"), "doc_id", "method_id",
+            F.lit(False).alias("m_external"),
+        )
+        .distinct()
+    )
+
+
 def _hint_candidates(nodes: DataFrame, edges: DataFrame,
                      recovered: DataFrame | None = None) -> DataFrame:
     """Hint-link candidate rows (src, dst, doc_id, method_id, m_external) for
@@ -523,6 +575,7 @@ def _hint_candidates(nodes: DataFrame, edges: DataFrame,
             "doc_id", "method_id", F.lit(False).alias("m_external"),
         )
         .distinct()
+        .unionByName(_method_ref_candidates(nodes))
     )
 
 

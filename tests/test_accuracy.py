@@ -108,13 +108,15 @@ CASES = {
         "int make9() { return 1109; }\n"
         "void a9() { int o9 = make9(); sink109(o9); }",
         "1109", True, True),
-    # call through a function pointer: MethodRefLinker links the reference,
-    # but the indirect CALL stays unresolved — known FN (the reference's
-    # Reflection row has the same blind spot, 1 FN of 4)
+    # call through a function pointer: the method-ref hint rule
+    # (fp = someFunc; fp(...) → CALL edge to someFunc, XTypeRecovery's
+    # identifier-assigned-METHOD_REF feeding XTypeHintCallLinker) resolves
+    # the indirect call — TP here where the reference's Reflection row
+    # posts an FN (its c2cpg leaves fn-ptr calls unlinked)
     "fnptr_call": ("Reflection",
         "void s10fn(int v10) { sink110(v10); }\n"
         "void a10() { void (*fp10)(int) = s10fn; fp10(1110); }",
-        "1110", True, False),
+        "1110", True, True),
     # cross-function flow through a global: per-method reaching defs never
     # connect set13's write to a13's read — known FN (Session analog)
     "session_global": ("Session",
