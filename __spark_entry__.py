@@ -203,6 +203,33 @@ def cpg_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpg_dataflow_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joern-slice data-flow mode (DataFlowSlicing.scala:20-66): every node
+    in the backward REACHING_DEF closure of any call argument, with its
+    enclosing method/file provenance."""
+    from joern_spark.slicing import data_flow_slice
+
+    res = _cpg(spark, sf_dir)
+    sn, _ = data_flow_slice(res.nodes, res.edges)
+    return sn.select(
+        "node_id", "kind", "code", "parent_method", "parent_file",
+        F.col("line").cast("long").alias("line"))
+
+
+def cpg_usage_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joern-slice usages mode (UsageSlicing.scala:33-100): per declared
+    variable — defining RHS, receiver calls, argument calls. List columns
+    rendered as sorted comma-joined strings for the driver's scalar hash."""
+    from joern_spark.slicing import usage_slices
+
+    res = _cpg(spark, sf_dir)
+    u = usage_slices(res.nodes, res.edges)
+    return u.select(
+        "method_full_name", "file_name", "var_name", "var_type", "defined_by",
+        F.array_join("invoked_calls", ",").alias("invoked_calls"),
+        F.array_join("arg_to_calls", ",").alias("arg_to_calls"))
+
+
 def cpg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG degree statistics: out-degree histogram per edge kind.
 
@@ -225,6 +252,8 @@ _CPG_QUERIES = {
     "cpg_degree_hist": cpg_degree_hist,
     "cpg_method_metrics": cpg_method_metrics,
     "cpg_call_closure": cpg_call_closure,
+    "cpg_dataflow_slice": cpg_dataflow_slice,
+    "cpg_usage_slices": cpg_usage_slices,
     "cpg_dependencies": cpg_dependencies,
     "cpg_reaching_def": cpg_reaching_def,
     "cpg_callgraph": cpg_callgraph,

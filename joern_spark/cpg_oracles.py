@@ -1968,6 +1968,113 @@ FROM calls c
 LEFT JOIN {_S} s ON s.doc_id = c.doc_id AND s.span_offset = c.span_offset
 """
 
+# ---- joern-slice: data-flow slice membership (DataFlowSlicing.scala:20-66) --
+# backward REACHING_DEF closure of every call argument, bounded at the
+# reference's sliceDepth default (20) — mirrors slicing.data_flow_slice
+
+_DATAFLOW_SLICE_SQL = f"""
+WITH RECURSIVE
+args AS (SELECT DISTINCT dst AS node_id FROM {_E} WHERE kind = 'ARGUMENT'),
+rd AS (SELECT dst AS node_id, src AS prev_id FROM {_E}
+       WHERE kind = 'REACHING_DEF'),
+reach AS (
+    SELECT node_id, 0 AS hops FROM args
+    UNION
+    SELECT rd.prev_id, r.hops + 1
+    FROM reach r JOIN rd ON rd.node_id = r.node_id
+    WHERE r.hops < 20
+),
+visited AS (SELECT DISTINCT node_id FROM reach),
+methods AS (SELECT node_id AS mid, full_name FROM {_N} WHERE kind = 'METHOD')
+SELECT v.node_id, n.kind, n.code,
+       COALESCE(m.full_name, '') AS parent_method,
+       n.filename AS parent_file,
+       CAST(n.line AS BIGINT) AS line
+FROM visited v
+JOIN {_N} n ON n.node_id = v.node_id
+LEFT JOIN methods m ON m.mid = n.method_id
+"""
+
+# ---- joern-slice: usage slices (UsageSlicing.scala:33-100) ------------------
+# one row per declared variable: defining assignment RHS, receiver calls,
+# argument calls — mirrors slicing.usage_slices with the list columns
+# rendered as sorted comma-joined strings
+
+_USAGE_SLICES_SQL = f"""
+WITH decls AS (
+    SELECT method_id AS d_mid, name AS var_name,
+           MIN(type_full_name) AS var_type
+    FROM {_N} WHERE kind IN ('LOCAL', 'METHOD_PARAMETER_IN')
+    GROUP BY 1, 2
+),
+uses AS (
+    SELECT n.node_id AS use_id, n.method_id AS d_mid, n.name AS var_name
+    FROM {_N} n JOIN decls d ON n.method_id = d.d_mid AND n.name = d.var_name
+    WHERE n.kind = 'IDENTIFIER'
+),
+calls AS (SELECT node_id AS call_id, name AS call_name FROM {_N}
+          WHERE kind = 'CALL'),
+recv AS (SELECT src AS call_id, dst AS use_id FROM {_E}
+         WHERE kind = 'RECEIVER'),
+invoked AS (
+    SELECT DISTINCT u.d_mid, u.var_name, c.call_name AS c
+    FROM uses u
+    JOIN recv r ON r.use_id = u.use_id
+    JOIN calls c ON c.call_id = r.call_id
+),
+arg_edges AS (SELECT src AS call_id, dst AS use_id FROM {_E}
+              WHERE kind = 'ARGUMENT'),
+arg_to AS (
+    SELECT DISTINCT u.d_mid, u.var_name, c.call_name AS c
+    FROM uses u
+    JOIN arg_edges a ON a.use_id = u.use_id
+    JOIN calls c ON c.call_id = a.call_id
+    WHERE c.call_name NOT LIKE '<operator>%'
+),
+assigns AS (SELECT node_id AS a_id FROM {_N}
+            WHERE kind = 'CALL' AND name = '<operator>.assignment'),
+lhs AS (
+    SELECT k.parent_id AS a_id, u.d_mid, u.var_name
+    FROM {_N} k
+    JOIN assigns a ON k.parent_id = a.a_id
+    JOIN uses u ON u.use_id = k.node_id
+    WHERE k.argument_index = 1 AND k.kind = 'IDENTIFIER'
+),
+rhs AS (
+    SELECT k.parent_id AS a_id, k.code AS rhs_code
+    FROM {_N} k JOIN assigns a ON k.parent_id = a.a_id
+    WHERE k.argument_index = 2
+),
+defined AS (
+    SELECT l.d_mid, l.var_name, MIN(r.rhs_code) AS defined_by
+    FROM lhs l JOIN rhs r ON r.a_id = l.a_id
+    GROUP BY 1, 2
+),
+inv_agg AS (
+    SELECT d_mid, var_name, string_agg(c, ',' ORDER BY c) AS s,
+           count(*) AS n
+    FROM invoked GROUP BY 1, 2
+),
+arg_agg AS (
+    SELECT d_mid, var_name, string_agg(c, ',' ORDER BY c) AS s,
+           count(*) AS n
+    FROM arg_to GROUP BY 1, 2
+),
+methods AS (SELECT node_id AS d_mid, full_name AS method_full_name,
+                   filename AS file_name
+            FROM {_N} WHERE kind = 'METHOD')
+SELECT m.method_full_name, m.file_name, d.var_name, d.var_type,
+       COALESCE(df.defined_by, '') AS defined_by,
+       COALESCE(i.s, '') AS invoked_calls,
+       COALESCE(a.s, '') AS arg_to_calls
+FROM decls d
+LEFT JOIN inv_agg i ON i.d_mid = d.d_mid AND i.var_name = d.var_name
+LEFT JOIN arg_agg a ON a.d_mid = d.d_mid AND a.var_name = d.var_name
+LEFT JOIN defined df ON df.d_mid = d.d_mid AND df.var_name = d.var_name
+JOIN methods m ON m.d_mid = d.d_mid
+WHERE COALESCE(i.n, 0) + COALESCE(a.n, 0) >= 1
+"""
+
 # ---- KG degree statistics ---------------------------------------------------
 
 _DEGREE_HIST_SQL = f"""
@@ -1993,4 +2100,6 @@ ORACLES = {
     "cpg_scan_findings": _SCAN_SQL,
     "cpg_method_metrics": _METRICS_SQL,
     "cpg_call_closure": _CALL_CLOSURE_SQL,
+    "cpg_dataflow_slice": _DATAFLOW_SLICE_SQL,
+    "cpg_usage_slices": _USAGE_SLICES_SQL,
 }

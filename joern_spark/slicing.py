@@ -87,10 +87,15 @@ def usage_slices(nodes: DataFrame, edges: DataFrame,
     is the RHS code of the defining assignment, invoked_calls the dynamic
     calls whose receiver is the variable, arg_to_calls the calls that take
     it as an argument."""
-    decls = nodes.filter(F.col("kind").isin("LOCAL", "METHOD_PARAMETER_IN")).select(
-        F.col("method_id").alias("d_mid"), F.col("name").alias("var_name"),
-        F.col("type_full_name").alias("var_type"),
-    ).dropDuplicates(["d_mid", "var_name"])
+    # deterministic per-(method, name) reduction: dropDuplicates keeps an
+    # arbitrary row, which would make the declared type depend on partition
+    # order — MIN over the (rare) conflicting declarations is stable and lets
+    # the DuckDB oracle mirror the pick exactly
+    decls = (
+        nodes.filter(F.col("kind").isin("LOCAL", "METHOD_PARAMETER_IN"))
+        .groupBy(F.col("method_id").alias("d_mid"), F.col("name").alias("var_name"))
+        .agg(F.min("type_full_name").alias("var_type"))
+    )
 
     uses = nodes.filter(F.col("kind") == "IDENTIFIER").select(
         F.col("node_id").alias("use_id"), F.col("method_id").alias("d_mid"),
