@@ -121,7 +121,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket join.
 IVF_MOD = 29
 IVF_RES = 5
-N_PROBE = 2
+# nprobe trades candidate-set size for recall — the same knob a real IVF
+# deployment tunes. With residue-rule centroids (no k-means: reproducibility
+# over recall, see above) the lists are unbalanced, so nprobe=6 lifts
+# recall@5 from 0.40 (nprobe=2) to 0.625 at sf0.01
+# (tests/test_ann.py::test_ivf_recall_on_fixed_corpus). The sf0.01 recall is
+# a small-sample floor: only ~|table|/29 ≈ 17 lists exist there, so each
+# probe is coarse; at scale the list count grows with the table while
+# nprobe stays fixed, shrinking the scanned fraction — recall then depends
+# on local list quality, not on how much of the table one probe covers.
+N_PROBE = 6
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

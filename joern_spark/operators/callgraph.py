@@ -124,6 +124,31 @@ def _static_candidates(nodes: DataFrame, strategy: str = "auto",
     )
 
 
+def _static_resolved(nodes: DataFrame) -> DataFrame:
+    """Call ids (as ``src``) that the static linker WILL resolve — the same
+    join key + signature conjunct as :func:`_static_candidates`, but as a
+    left-semi probe against the broadcast METHOD dim: one map-side pass that
+    yields one row per resolved call, never the call×methods expansion. Used
+    as the anti-join build side for leftover-only naive linking, where only
+    set membership matters."""
+    calls = nodes.filter(
+        (F.col("kind") == "CALL")
+        & F.col("dispatch_type").isin("STATIC_DISPATCH", "INLINED")
+    ).select(
+        F.col("node_id").alias("src"),
+        F.col("full_name").alias("c_full"),
+        F.col("signature").alias("c_sig"),
+    )
+    methods = _method_dim(nodes).select("m_full", "m_sig")
+    return calls.join(
+        budgeted_broadcast(methods),
+        (F.col("c_full") == F.col("m_full"))
+        & (F.col("c_sig").isNull() | (F.col("c_sig") == "")
+           | (F.col("c_sig") == F.col("m_sig"))),
+        "left_semi",
+    ).select("src")
+
+
 def method_ref_linker(nodes: DataFrame) -> DataFrame:
     """REF edges METHOD_REF → METHOD by method full_name.
 
@@ -383,27 +408,35 @@ def candidate_pool(nodes: DataFrame, edges: DataFrame,
     a pruned naive row's src has f_r01 == 1, killing every rank-3 branch)."""
     rank = lambda df, r: df.select(  # noqa: E731
         "src", "dst", "doc_id", "method_id", "m_external", F.lit(r).alias("rank"))
-    cand = rank(_static_candidates(nodes), 0)
     dyn = _dynamic_candidates(nodes, edges)
+    # The naive anti-join only needs set MEMBERSHIP of resolved call ids, not
+    # the candidate rows — so the build side is a broadcast SEMI-join probe
+    # (calls that match any method on the static key), never the full
+    # static×methods expansion. The old shape eagerly checkpointed the whole
+    # static∪CHA candidate frame (6 columns incl. doc_id strings) just to
+    # reuse it as the anti-join build; on the bandwidth-walled host (and on
+    # any real executor) that full-width materialization IS the cost — the
+    # semi probe re-reads only the checkpointed vocabulary leaves map-side.
+    # CHA is the one subtree whose re-evaluation is non-trivial (its
+    # super-fallback branch already evaluates its down-branch twice), so at
+    # corpus scale (caller passes barrier=True on CALL count) the CHA
+    # candidate frame — a small fraction of all calls — is checkpointed
+    # narrow instead of the whole pool.
+    if dyn is not None and barrier:
+        dyn = dyn.localCheckpoint(eager=True)
+    resolved = _static_resolved(nodes)
+    if dyn is not None:
+        resolved = resolved.unionByName(dyn.select("src"))
+    cand = rank(_static_candidates(nodes), 0)
     if dyn is not None:
         cand = cand.unionByName(rank(dyn, 1))
     # leftover-only naive: anti-join the static/CHA-resolved call ids before
-    # the quadratic name join (re-evaluating the cheap broadcast-join
-    # subtrees once more costs far less than producing the k²-per-name rows
-    # the arbitration would drop anyway). With that, every rank-3 row in the
-    # pool is already arbitration-keepable on the f_r01 axis, so no further
-    # pre-pruning pass is worth a second evaluation of the pool — the final
-    # arbitration in :func:`link_calls` drops the (bounded) CHA-external
-    # leftovers in its single pass.
-    # one evaluation of the static∪CHA subtree: it feeds BOTH the anti-join
-    # build side and the output union (and CHA's super-fallback already
-    # re-reads its own down-branch), so without a barrier it evaluates ~4x.
-    # The barrier is a serial stage though — worth it only when the corpus
-    # is big enough that re-evaluation beats its fixed latency (the caller
-    # passes its CALL count; standalone callers default to no barrier).
-    if barrier:
-        cand = cand.localCheckpoint(eager=True)
-    resolved = cand.select("src")
+    # the quadratic name join (the k²-per-name rows the arbitration would
+    # drop anyway are never produced; NaiveCallLinker.scala:13-28 leftover
+    # semantics). Every rank-3 row in the pool is then already
+    # arbitration-keepable on the f_r01 axis; the final arbitration in
+    # :func:`link_calls` drops the (bounded) CHA-external leftovers in its
+    # single pass.
     return cand.unionByName(rank(_naive_candidates(nodes, resolved), 3))
 
 

@@ -50,7 +50,8 @@ def test_ivf_recall_on_fixed_corpus(results):
     exact = {(r.query_id, r.neighbor_id) for r in bf}
     r_ivf = len(exact & {(r.query_id, r.neighbor_id) for r in ivf}) / len(exact)
     r_lsh = len(exact & {(r.query_id, r.neighbor_id) for r in lsh}) / len(exact)
-    # deterministic corpus → stable figures (0.40 / 0.15 at sf0.01); the
-    # nprobe=2 inverted-file search should dominate the 4-plane LSH buckets
-    assert r_ivf >= 0.3
+    # deterministic corpus → stable figures (0.625 / 0.15 at sf0.01); at
+    # nprobe=6 the inverted-file search scans ~1/3 of the ~17 sf0.01 lists
+    # and dominates the 4-plane LSH buckets by 4x
+    assert r_ivf >= 0.6
     assert r_ivf >= r_lsh
