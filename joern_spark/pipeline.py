@@ -276,11 +276,21 @@ def _run_fused(spark, cpg_rows, nodes0, edges0, spans,
         )
         ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
                                  F.col("node_id").alias("ns_id"))
-        nodes = (
-            nodes0.unionByName(types).unionByName(decl_stubs)
+        # ONE union leaf for the six vocabulary frames: `nodes` is referenced
+        # ~12 times across the candidate pool / linkers, and every reference
+        # inlines the full union subtree into the plan Catalyst must analyze
+        # (7 branches x 12 references ~= 84 subtrees + AQE re-planning per
+        # query stage — measured as multi-second DRIVER gaps in the stage
+        # timeline at small corpus, the fixed floor the sf0.1 headline pays).
+        # The leaves are already materialized, so checkpointing their union
+        # copies only vocabulary-sized rows; `nodes` then plans as a 2-branch
+        # union everywhere.
+        vocab_nodes = (
+            types.unionByName(decl_stubs)
             .unionByName(m_stubs).unionByName(param_outs).unionByName(ns_nodes)
             .unionByName(dep_nodes)
-        )
+        ).localCheckpoint(eager=True)
+        nodes = nodes0.unionByName(vocab_nodes)
         with dim_fits_hint(fits):
             ns_edges = (
                 nodes0.filter(F.col("kind") == "NAMESPACE_BLOCK")
