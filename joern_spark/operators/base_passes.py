@@ -97,7 +97,8 @@ def namespace_pass(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     ns_dim = ns_nodes.select(F.col("name").alias("ns_name"),
                              F.col("node_id").alias("ns_id"))
     ref_edges = (
-        blocks.join(budgeted_broadcast(ns_dim), blocks["name"] == F.col("ns_name"))
+        blocks.join(budgeted_broadcast(ns_dim, bound=blocks),
+                    blocks["name"] == F.col("ns_name"))
         .select(
             F.col("node_id").alias("src"), F.col("ns_id").alias("dst"),
             F.lit("REF").alias("kind"), F.lit("").alias("variable"),
@@ -113,7 +114,8 @@ def type_decl_stubs(types: DataFrame, nodes: DataFrame) -> DataFrame:
         dereference(F.col("full_name")).alias("full_name")
     ).distinct()
     missing = types.select("full_name").join(
-        budgeted_broadcast(decls), "full_name", "left_anti"
+        budgeted_broadcast(decls, bound=nodes.filter(F.col("kind") == "TYPE_DECL")),
+        "full_name", "left_anti"
     )
     fn = F.col("full_name")
     return _node_select(
@@ -148,7 +150,9 @@ def method_stubs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFra
     methods = nodes.filter(F.col("kind") == "METHOD").select(
         F.col("full_name").alias("c_full")
     ).distinct()
-    missing = calls.join(budgeted_broadcast(methods), "c_full", "left_anti")
+    missing = calls.join(
+        budgeted_broadcast(methods, bound=nodes.filter(F.col("kind") == "METHOD")),
+        "c_full", "left_anti")
 
     # pure-JVM stub synthesis (round-3 profile: the Python generator here was
     # the pool's biggest serial chunk, t_stubs 21-43 s). ONE scan emits the

@@ -54,10 +54,19 @@ _PROBE_MEMO_MAX = 4096
 
 
 def budgeted_broadcast(dim: DataFrame, budget: int = MAX_BROADCAST_DIM,
-                       fits: bool | None = None) -> DataFrame:
+                       fits: bool | None = None,
+                       bound: DataFrame | None = None) -> DataFrame:
     """``F.broadcast(dim)`` when it fits the budget, else ``dim`` unhinted
     (shuffle join). ``fits=None`` consults the run hint, then falls back to a
-    memoized bounded count that stops scanning at ``budget + 1`` rows."""
+    memoized bounded count that stops scanning at ``budget + 1`` rows.
+
+    ``bound``: optional frame whose row count upper-bounds ``dim``'s (e.g.
+    the pre-distinct source of a ``filter().distinct()`` dim). Probing it is
+    a map-only early-stopping count — no shuffle — where probing ``dim``
+    itself would have to execute the distinct's exchange just to decide the
+    join strategy. Conservative by construction: an over-budget bound picks
+    the shuffle join even when the distinct dim would have fit, which
+    degrades the plan, never the result."""
     if fits is None:
         fits = _FITS_HINT
     if fits is None:
@@ -68,7 +77,8 @@ def budgeted_broadcast(dim: DataFrame, budget: int = MAX_BROADCAST_DIM,
         if key is not None and key in _PROBE_MEMO:
             fits = _PROBE_MEMO[key]
         else:
-            fits = dim.limit(budget + 1).count() <= budget
+            probe = bound if bound is not None else dim
+            fits = probe.limit(budget + 1).count() <= budget
             if key is not None:
                 if len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
                     _PROBE_MEMO.clear()
