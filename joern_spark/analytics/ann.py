@@ -4,11 +4,27 @@
   correctness baseline. Query side is tiny → broadcast; the scan side streams
   (at 100 TB this is the classic broadcast-nested-loop scoring pass, one
   map stage, no shuffle except the per-query top-k aggregation).
-- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets (SimHash
-  for vectors): candidates only within the query's bucket, turning the
-  quadratic scan into an equi-join on bucket id. Planes are deterministic
-  (no RNG at runtime): plane j weight for dim i = sign pattern from a fixed
-  hash formula, identical in the SQL oracle.
+- ``ann_lsh_topk`` / ``embedding_neardup_pairs``: the scale path — a
+  **banded** random-hyperplane (SimHash) space: ``N_PLANES`` sign bits split
+  into ``N_BANDS`` bands of ``BAND_BITS`` bits each, candidates = vectors
+  sharing ANY band hash (multi-band OR, exactly how ``dedup.py`` bands
+  MinHash 16x4). Recall is recovered by the band OR while each band's
+  bucket count (2^BAND_BITS per band, N_BANDS * 2^BAND_BITS keys total)
+  keeps the within-bucket join sub-quadratic. At larger corpora raise
+  ``N_PLANES`` (~log2 n * N_BANDS) — bucket cardinality then grows with the
+  table, which the 4-plane/16-bucket round-4 design did not.
+- ``ann_ivf_topk``: inverted-file search with a **fixed-K** coarse
+  quantizer: centroids are the ``IVF_K`` rows with the smallest
+  ``md5(vec_id)`` — a deterministic hash-rank sample (no RNG), computed as
+  an order-by-limit (Spark plans ``TakeOrderedAndProject``: constant-size
+  result no matter the table size, so the broadcast NEVER grows with the
+  corpus — fixing round 4's residue-rule n/29 centroid set whose coarse
+  assignment was O(n^2/29)). Assignment is one O(n*K) map stage; the probe
+  join is an equi-join on cluster id. At 100 TB raise IVF_K toward ~sqrt(n)
+  and this stays a broadcast of K rows.
+
+Planes are deterministic (no RNG at runtime): plane j weight for dim i =
+sign pattern from a fixed hash formula, identical in the SQL oracle.
 
 Dot products run in identical left-to-right fold order on both engines
 (double precision), so cosine values are bit-identical and rank ties don't
@@ -24,8 +40,13 @@ from pyspark.sql import functions as F
 
 N_QUERIES = 8
 TOP_K = 5
-N_PLANES = 4
 DIM = 64
+
+# Banded SimHash space: 16 planes = 4 bands x 4 bits. 2^4 buckets per band,
+# 4-band OR for recall (p_collide = 1 - (1 - p_bit^4)^4).
+N_PLANES = 16
+N_BANDS = 4
+BAND_BITS = N_PLANES // N_BANDS
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,30 +94,67 @@ def _plane_weight(j: int, i: int) -> int:
     return 1 if ((i * 31 + j * 17) % 7) % 2 == 0 else -1
 
 
-def _bucket_expr(vcol):
-    """LSH bucket id = bit pattern of sign(v · plane_j), j in [0, N_PLANES)."""
-    bucket = F.lit(0)
-    for j in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                vcol,
-                F.array(*[F.lit(float(_plane_weight(j, i))) for i in range(DIM)]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+def _proj_expr(vcol, j: int):
+    return F.aggregate(
+        F.zip_with(
+            vcol,
+            F.array(*[F.lit(float(_plane_weight(j, i))) for i in range(DIM)]),
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _band_hash_expr(vcol, band: int):
+    """Band hash = bit pattern of sign(v . plane_j) over the band's planes."""
+    h = F.lit(0)
+    for b in range(BAND_BITS):
+        j = band * BAND_BITS + b
+        h = h + F.when(_proj_expr(vcol, j) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return h
+
+
+def _with_bands(df: DataFrame, vcol: str = "v") -> DataFrame:
+    """Explode each vector to one row per band: (.., band, bh)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                _band_hash_expr(F.col(vcol), band).alias("bh"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    return df.withColumn("bb", F.explode(bands)).select(
+        *df.columns, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed cosine top-k: candidates share the query's bucket."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    """Banded-SimHash cosine top-k: candidates share ANY band with the query.
+
+    Multi-band OR = the multi-probe knob; candidate duplicates (a pair
+    colliding in several bands) are collapsed by a distinct on the pair key
+    before scoring, so each candidate is scored once.
+    """
+    eb = _with_bands(_emb(spark, sf_dir))
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("band").alias("qband"),
+        F.col("bh").alias("qbh"),
     )
-    cand = e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+    cand = (
+        eb.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("qband"))
+            & (F.col("bh") == F.col("qbh"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "v", "qv")
+        .distinct()
+    )
     sim = cand.withColumn("cos", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -110,34 +168,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- IVF (inverted-file) ANN: coarse quantizer + nprobe cluster search ----
-# Centroid seeds are data rows picked by a deterministic residue rule (no
-# RNG, no k-means iterations — reproducibility over recall for the oracle
-# twin; a k-means refinement would only move the centroid vectors, not the
-# plan shape). Scale path: the centroid set is tiny (|table| / IVF_MOD) →
-# broadcast; assignment is one map-side argmax per vector (no shuffle
-# beyond the partial-aggregate combine); the probe join is an equi-join on
-# cluster id against the inverted list — the IVF analog of ann_lsh_topk's
-# bucket join.
-IVF_MOD = 29
-IVF_RES = 5
+# ---- IVF (inverted-file) ANN: fixed-K coarse quantizer + nprobe search ----
+# Centroids = the IVF_K rows with the smallest md5(vec_id): a deterministic
+# hash-rank sample (reproducibility over recall for the oracle twin; a
+# k-means refinement would only move the centroid vectors, not the plan
+# shape). |centroids| is a CONSTANT — the order-by-limit plans as
+# TakeOrderedAndProject, so the broadcast stays K rows at any corpus size.
+IVF_K = 16
 # nprobe trades candidate-set size for recall — the same knob a real IVF
-# deployment tunes. With residue-rule centroids (no k-means: reproducibility
-# over recall, see above) the lists are unbalanced, so nprobe=6 lifts
-# recall@5 from 0.40 (nprobe=2) to 0.625 at sf0.01
-# (tests/test_ann.py::test_ivf_recall_on_fixed_corpus). The sf0.01 recall is
-# a small-sample floor: only ~|table|/29 ≈ 17 lists exist there, so each
-# probe is coarse; at scale the list count grows with the table while
-# nprobe stays fixed, shrinking the scanned fraction — recall then depends
-# on local list quality, not on how much of the table one probe covers.
+# deployment tunes. Hash-rank centroids are an unrefined sample, so lists
+# are unbalanced; nprobe=6 of the 16 lists holds recall@5 at 0.675 at
+# sf0.01 (tests/test_ann.py::test_ivf_recall_on_fixed_corpus). At scale the
+# scanned fraction is nprobe/IVF_K of the table regardless of n; recall
+# then depends on list quality (k-means would lift it), not on coverage.
 N_PROBE = 6
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat cosine top-k: search the N_PROBE nearest coarse clusters."""
     e = _emb(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") % IVF_MOD == IVF_RES).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    cent = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     scored = e.crossJoin(F.broadcast(cent)).withColumn(
         "cos_c",
@@ -198,16 +251,22 @@ NEARDUP_T = 0.35
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within LSH buckets (cos >= 0.35).
+    """Embedding-cosine near-dup pairs within banded SimHash buckets.
 
-    The bucket equi-join replaces the quadratic all-pairs scan — the scale
-    path for embedding dedup; recall is governed by N_PLANES (coarser
-    buckets → higher recall, bigger candidate sets).
+    The per-band bucket equi-join replaces the quadratic all-pairs scan —
+    the scale path for embedding dedup. Pairs colliding in several bands
+    are collapsed by a distinct on the pair key before the cosine filter,
+    so each pair is scored once; recall is the multi-band OR.
     """
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    eb = _with_bands(_emb(spark, sf_dir))
+    a = eb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bh")
+    b = eb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bh")
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .distinct()
+    )
     sim = pairs.withColumn(
         "cos", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     )
@@ -237,17 +296,27 @@ def _plane_sql(vcol: str, j: int) -> str:
     return f"({terms})"
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_plane_sql('v', j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
+def _band_hash_sql(vcol: str, band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_plane_sql(vcol, band * BAND_BITS + b)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(BAND_BITS)
+    )
+
+
+# exploded banded view: one row per (vec_id, v, band, bh) — the SQL twin of
+# _with_bands (a UNION ALL over the N_BANDS band hashes)
+_EB_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, v, {band} AS band, {_band_hash_sql('v', band)} AS bh FROM e"
+    for band in range(N_BANDS)
 )
 
 ORACLES = {
     "ann_neardup_pairs": f"""
-        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e0),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        eb AS ({_EB_SQL}),
         pairs AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
-            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+            FROM eb a JOIN eb b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b,
                CAST(round({_dot_sql('va', 'vb')} / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})) * 10000.0) AS BIGINT) AS cos_bp
@@ -272,13 +341,18 @@ ORACLES = {
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_lsh_topk": f"""
-        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e0),
-        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e WHERE vec_id < {N_QUERIES}),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        eb AS ({_EB_SQL}),
+        q AS (SELECT vec_id AS query_id, v AS qv, band AS qband, bh AS qbh
+              FROM eb WHERE vec_id < {N_QUERIES}),
+        cand AS (
+            SELECT DISTINCT q.query_id, e.vec_id, e.v, q.qv
+            FROM eb e JOIN q ON e.band = q.qband AND e.bh = q.qbh AND e.vec_id != q.query_id
+        ),
         sim AS (
-            SELECT q.query_id, e.vec_id,
-                   {_dot_sql('e.v', 'q.qv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cos
-            FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.query_id
+            SELECT query_id, vec_id,
+                   {_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})) AS cos
+            FROM cand
         ),
         ranked AS (
             SELECT query_id, vec_id AS neighbor_id,
@@ -290,7 +364,8 @@ ORACLES = {
     """,
     "ann_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_MOD} = {IVF_RES}),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {IVF_K}),
         scored AS (
             SELECT e.vec_id, e.v, cent.cid,
                    {_dot_sql('e.v', 'cent.cv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('cent.cv', 'cent.cv')})) AS cos_c

@@ -117,6 +117,9 @@ OP_NOT_NULL_ASSERT = "<operator>.notNullAssert"
 OP_CAST = "<operator>.cast"
 OP_SIZEOF = "<operator>.sizeOf"
 OP_ALLOC = "<operator>.alloc"
+OP_FORMAT_STRING = "<operator>.formatString"
+OP_LIST_LITERAL = "<operator>.listLiteral"
+OP_DICT_LITERAL = "<operator>.dictLiteral"
 OP_POST_INCREMENT = "<operator>.postIncrement"
 OP_POST_DECREMENT = "<operator>.postDecrement"
 OP_PRE_INCREMENT = "<operator>.preIncrement"

@@ -25,9 +25,15 @@ Lowering conventions follow jssrc2cpg:
 
 from __future__ import annotations
 
-from .ast_model import OP_ALLOC, AstNode, STATIC_DISPATCH, operator_call
+from .ast_model import (
+    OP_ALLOC,
+    OP_FORMAT_STRING,
+    AstNode,
+    STATIC_DISPATCH,
+    operator_call,
+)
 from .java_parser import JavaParser
-from .tokenizer import Token
+from .tokenizer import Token, tokenize
 
 _JS_DECL = ("var", "let", "const")
 
@@ -44,6 +50,15 @@ class JsParser(JavaParser):
     # (AstForExpressionsCreator.scala:187)
     from .ast_model import OP_NOT_NULL_ASSERT as _NNA
     ASSIGN_NAMES = {**JavaParser.ASSIGN_NAMES, "??=": _NNA}
+
+    def __init__(self, text: str):
+        super().__init__(text)
+        # hoisted lambda METHODs (arrow functions met in expression position)
+        # appended to the translation unit, jssrc2cpg's `<lambda>N` naming
+        # (AstCreator nextClosureName)
+        self._hoisted: list[AstNode] = []
+        self._lambda_n = 0
+        self._tmp_n = 0
 
     # JS has no type syntax: every typed-declaration heuristic is off; locals
     # arrive via var/let/const keywords instead.
@@ -82,6 +97,7 @@ class JsParser(JavaParser):
             prog.add(AstNode(kind="METHOD_RETURN", code="RET",
                              type_full_name="ANY", pos=0, line=1), order=2)
             out.append(prog)
+        out.extend(self._hoisted)
         # CommonJS requires anywhere in the tree → IMPORT tops
         imports: list[AstNode] = []
         seen: set[str] = set()
@@ -127,14 +143,167 @@ class JsParser(JavaParser):
     # --- statements ----------------------------------------------------------
     def parse_statement(self) -> list[AstNode]:
         t = self.peek()
-        if t is not None and t.text in _JS_DECL and self.at_kind("ident", 1):
+        if t is not None and t.text in _JS_DECL and (
+                self.at_kind("ident", 1) or self.at("{", 1) or self.at("[", 1)):
             return self.parse_js_declaration()
         if t is not None and t.text == "function":
             return [self.parse_js_function()]
         return super().parse_statement()
 
+    # --- arrow functions ------------------------------------------------------
+    def _at_arrow(self) -> bool:
+        """Lookahead: `ident =>` or `( … ) =>` starts an arrow function."""
+        if self.at_kind("ident") and self.at("=>", 1):
+            return True
+        if self.at("("):
+            depth = 0
+            j = self.i
+            while j < len(self.toks):
+                txt = self.toks[j].text
+                if txt == "(":
+                    depth += 1
+                elif txt == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return (j + 1 < len(self.toks)
+                                and self.toks[j + 1].text == "=>")
+                j += 1
+        return False
+
+    def parse_arrow(self) -> AstNode:
+        """Arrow function → hoisted `<lambda>N` METHOD + a METHOD_REF in
+        expression position (jssrc2cpg astForFunctionExpression /
+        nextClosureName; expression bodies lower to `return <expr>`)."""
+        start = self.peek()
+        params: list[Token] = []
+        prev_vars = self.var_types
+        self.var_types = dict(prev_vars)  # closure: outer vars stay visible
+        if self.at("("):
+            self.eat()
+            while self.peek() is not None and not self.at(")"):
+                if self.at_kind("ident"):
+                    params.append(self.eat())
+                else:
+                    self.eat()
+                self.accept(",")
+            self.expect(")")
+        else:
+            params.append(self.eat())
+        self.expect("=>")
+        name = f"<lambda>{self._lambda_n}"
+        self._lambda_n += 1
+        method = AstNode(kind="METHOD", name=name, full_name=name,
+                         signature=f"ANY({','.join('ANY' for _ in params)})",
+                         pos=start.pos, line=start.line)
+        for idx, p in enumerate(params, start=1):
+            self.var_types[p.text] = "ANY"
+            method.add(AstNode(kind="METHOD_PARAMETER_IN", name=p.text,
+                               code=p.text, pos=p.pos, line=p.line,
+                               type_full_name="ANY"),
+                       order=idx, argument_index=idx)
+        if self.at("{"):
+            body = self.parse_compound()
+        else:
+            expr = self.parse_assignment_expr()
+            body = AstNode(kind="BLOCK", pos=start.pos, line=start.line)
+            ret = AstNode(kind="RETURN", pos=start.pos, line=start.line)
+            if expr is not None:
+                ret.add(expr, order=1, argument_index=1)
+                ret.code = expr.code
+            body.add(ret, order=1)
+        method.add(body, order=len(params) + 1)
+        method.add(AstNode(kind="METHOD_RETURN", code="RET",
+                           type_full_name="ANY", pos=start.pos,
+                           line=start.line), order=len(params) + 2)
+        method.code = self.text[start.pos:self._prev_end()].strip()
+        self.var_types = prev_vars
+        self._hoisted.append(method)
+        ref = AstNode(kind="METHOD_REF", name=name, full_name=name,
+                      code=method.code, pos=start.pos, line=start.line)
+        ref.arrow_method = method  # named-binding rename hook (declaration)
+        return ref
+
+    def parse_assignment_expr(self) -> AstNode | None:
+        if self._at_arrow():
+            return self.parse_arrow()
+        return super().parse_assignment_expr()
+
+    # --- destructuring --------------------------------------------------------
+    def _parse_destructuring(self, start: Token) -> list[AstNode]:
+        """`let {a, b} = e` / `let [a, b] = e` → one temp binding plus one
+        field/index-access assignment per name (jssrc2cpg
+        astForDeconstruction's lowering: `_tmp = e; a = _tmp.a; …`)."""
+        from .ast_model import OP_FIELD_ACCESS, OP_INDEX_ACCESS
+
+        open_tok = self.eat()  # '{' | '['
+        is_obj = open_tok.text == "{"
+        close = "}" if is_obj else "]"
+        names: list[tuple[Token, Token]] = []  # (source prop, bound target)
+        while self.peek() is not None and not self.at(close):
+            if self.at_kind("ident"):
+                prop = self.eat()
+                if is_obj and self.accept(":") and self.at_kind("ident"):
+                    # `{field: target}` rename — bind target from .field
+                    names.append((prop, self.eat()))
+                else:
+                    names.append((prop, prop))
+            else:
+                self.eat()
+            self.accept(",")
+        self.expect(close)
+        self.expect("=")
+        rhs = self.parse_assignment_expr()
+        tmp = f"_tmp{self._tmp_n}"
+        self._tmp_n += 1
+        out: list[AstNode] = [AstNode(
+            kind="LOCAL", name=tmp, code=tmp, pos=open_tok.pos,
+            line=open_tok.line, type_full_name="ANY")]
+        bind = operator_call("<operator>.assignment",
+                             self.text[start.pos:self._prev_end()].strip(),
+                             open_tok.pos, open_tok.line)
+        bind.add(AstNode(kind="IDENTIFIER", name=tmp, code=tmp,
+                         pos=open_tok.pos, line=open_tok.line,
+                         type_full_name="ANY"), order=1, argument_index=1)
+        if rhs is not None:
+            bind.add(rhs, order=2, argument_index=2)
+        out.append(bind)
+        for k, (prop, target) in enumerate(names):
+            self.var_types[target.text] = "ANY"
+            out.append(AstNode(kind="LOCAL", name=target.text,
+                               code=f"{start.text} {target.text}",
+                               pos=target.pos, line=target.line,
+                               type_full_name="ANY"))
+            access = operator_call(
+                OP_FIELD_ACCESS if is_obj else OP_INDEX_ACCESS,
+                f"{tmp}.{prop.text}" if is_obj else f"{tmp}[{k}]",
+                target.pos, target.line)
+            access.add(AstNode(kind="IDENTIFIER", name=tmp, code=tmp,
+                               pos=target.pos, line=target.line,
+                               type_full_name="ANY"), order=1, argument_index=1)
+            if is_obj:
+                access.add(AstNode(kind="FIELD_IDENTIFIER", name=prop.text,
+                                   code=prop.text, pos=prop.pos,
+                                   line=prop.line), order=2, argument_index=2)
+            else:
+                access.add(AstNode(kind="LITERAL", code=str(k), pos=target.pos,
+                                   line=target.line, type_full_name="int"),
+                           order=2, argument_index=2)
+            asg = operator_call("<operator>.assignment",
+                                f"{target.text} = {access.code}",
+                                target.pos, target.line)
+            asg.add(AstNode(kind="IDENTIFIER", name=target.text,
+                            code=target.text, pos=target.pos,
+                            line=target.line, type_full_name="ANY"),
+                    order=1, argument_index=1)
+            asg.add(access, order=2, argument_index=2)
+            out.append(asg)
+        self.accept(";")
+        return out
+
     def parse_js_declaration(self) -> list[AstNode]:
         start = self.eat()  # var | let | const
+        if self.at("{") or self.at("["):
+            return self._parse_destructuring(start)
         out: list[AstNode] = []
         while self.at_kind("ident"):
             name_tok = self.eat()
@@ -145,6 +314,15 @@ class JsParser(JavaParser):
             out.append(local)
             if self.accept("="):
                 rhs = self.parse_assignment_expr()
+                if rhs is not None and getattr(rhs, "arrow_method", None) is not None:
+                    # `const f = (a) => …`: adopt the declared name — the
+                    # lambda becomes a named method (statically linkable,
+                    # matching jssrc2cpg's variable-named closure binding)
+                    m = rhs.arrow_method
+                    m.name = name_tok.text
+                    m.full_name = (f"{self.current_class}.{name_tok.text}"
+                                   if self.current_class else name_tok.text)
+                    rhs.name, rhs.full_name = m.name, m.full_name
                 lhs = AstNode(kind="IDENTIFIER", name=name_tok.text,
                               code=name_tok.text, pos=name_tok.pos,
                               line=name_tok.line, type_full_name="ANY")
@@ -223,8 +401,66 @@ class JsParser(JavaParser):
             node = call
         return node
 
+    # --- template literals ----------------------------------------------------
+    def _subparse_expr(self, start: int, end: int) -> AstNode | None:
+        """Parse ``self.text[start:end]`` as an expression with correct
+        absolute positions (used for `${…}` interpolations whose tokens sit
+        inside one template-literal token)."""
+        line0 = self.text.count("\n", 0, start)
+        shifted = [Token(t.kind, t.text, t.pos + start, t.line + line0)
+                   for t in tokenize(self.text[start:end])]
+        save_toks, save_i = self.toks, self.i
+        self.toks, self.i = shifted, 0
+        try:
+            return self.parse_expr()
+        finally:
+            self.toks, self.i = save_toks, save_i
+
+    def parse_template_literal(self, tok: Token) -> AstNode:
+        """`` `a${b}c` `` → ``<operator>.formatString`` over the string parts
+        and the parsed interpolation expressions (jssrc2cpg
+        astForTemplateExpression)."""
+        call = operator_call(OP_FORMAT_STRING, tok.text, tok.pos, tok.line)
+        inner = tok.text[1:-1]
+        base = tok.pos + 1
+        i = 0
+        idx = 0
+        while True:
+            j = inner.find("${", i)
+            if j < 0:
+                if inner[i:]:
+                    idx += 1
+                    call.add(AstNode(kind="LITERAL", code=inner[i:],
+                                     pos=base + i, line=tok.line,
+                                     type_full_name="string"),
+                             order=idx, argument_index=idx)
+                break
+            if j > i:
+                idx += 1
+                call.add(AstNode(kind="LITERAL", code=inner[i:j],
+                                 pos=base + i, line=tok.line,
+                                 type_full_name="string"),
+                         order=idx, argument_index=idx)
+            depth = 1
+            k = j + 2
+            while k < len(inner) and depth > 0:
+                if inner[k] == "{":
+                    depth += 1
+                elif inner[k] == "}":
+                    depth -= 1
+                k += 1
+            expr = self._subparse_expr(base + j + 2, base + k - 1)
+            if expr is not None:
+                idx += 1
+                call.add(expr, order=idx, argument_index=idx)
+            i = k
+        return call
+
     def parse_primary(self) -> AstNode | None:
         t = self.peek()
+        if t is not None and t.kind == "tmpl":
+            self.eat()
+            return self.parse_template_literal(t)
         if t is not None and t.kind in ("str", "char"):
             self.eat()
             return AstNode(kind="LITERAL", code=t.text, pos=t.pos, line=t.line,

@@ -38,7 +38,12 @@ multi-line call argument lists parse naturally.
 
 from __future__ import annotations
 
-from .ast_model import AstNode, operator_call
+from .ast_model import (
+    OP_DICT_LITERAL,
+    OP_LIST_LITERAL,
+    AstNode,
+    operator_call,
+)
 from .js_parser import JsParser
 from .tokenizer import Token
 
@@ -76,6 +81,14 @@ class PyParser(JsParser):
             t = self.peek()
             if t.text == "def":
                 out.append(self.parse_py_def())
+            elif t.text == "@":
+                # decorated def: METHOD to the top level, the lowered
+                # `f = dec(f)` rebinding into the module body
+                for st in self.parse_py_decorated():
+                    if st.kind in ("METHOD", "TYPE_DECL"):
+                        out.append(st)
+                    else:
+                        body.add(st)
             elif t.text == "class":
                 out.append(self.parse_py_class())
             elif t.text in ("import", "from"):
@@ -87,6 +100,7 @@ class PyParser(JsParser):
                     body.add(st)
             if self.i == start_i:
                 self.eat()
+        out.extend(self._hoisted)
         if body.children:
             prog.add(body, order=1)
             prog.add(AstNode(kind="METHOD_RETURN", code="RET",
@@ -111,6 +125,46 @@ class PyParser(JsParser):
                        code=self.text[t.pos:t.pos + 40].splitlines()[0].strip(),
                        pos=t.pos, line=t.line)
 
+    # --- decorators --------------------------------------------------------
+    def parse_py_decorated(self) -> list[AstNode]:
+        """``@dec`` lines before a def → pysrc2cpg's lowering: the METHOD
+        plus one ``f = dec(f)`` rebinding call per decorator, innermost
+        first (PythonAstVisitor's ``createTransformedImport``-style
+        decorator-to-call conversion); the METHOD_REF argument feeds
+        MethodRefLinker."""
+        decs: list[Token] = []
+        while self.at("@"):
+            a = self.eat()
+            if self.at_kind("ident") and self.peek().line == a.line:
+                decs.append(self.eat())
+            self._skip_line(a.line)  # dotted paths / decorator args: skimmed
+        t = self.peek()
+        if t is None:
+            return []
+        if t.text == "class":
+            return [self.parse_py_class()]
+        if t.text != "def":
+            return self.parse_py_statement()
+        m = self.parse_py_def()
+        out: list[AstNode] = [m]
+        for d in reversed(decs):
+            call = AstNode(kind="CALL", name=d.text, full_name=d.text,
+                           dispatch_type="STATIC_DISPATCH",
+                           code=f"{d.text}({m.name})", pos=d.pos, line=d.line)
+            call.add(AstNode(kind="METHOD_REF", name=m.name,
+                             full_name=m.full_name, code=m.name,
+                             pos=d.pos, line=d.line), order=1,
+                     argument_index=1)
+            asg = operator_call("<operator>.assignment",
+                                f"{m.name} = {d.text}({m.name})",
+                                d.pos, d.line)
+            asg.add(AstNode(kind="IDENTIFIER", name=m.name, code=m.name,
+                            pos=d.pos, line=d.line, type_full_name="ANY"),
+                    order=1, argument_index=1)
+            asg.add(call, order=2, argument_index=2)
+            out.append(asg)
+        return out
+
     # --- defs / classes ---------------------------------------------------
     def parse_py_def(self) -> AstNode:
         start = self.eat()  # 'def'
@@ -128,9 +182,22 @@ class PyParser(JsParser):
         params: list[AstNode] = []
         while self.peek() is not None and not self.at(")"):
             if not self.at_kind("ident"):
-                self.eat()
+                self.eat()  # `*` / `**` variadic markers skim to the name
                 continue
             p_tok = self.eat()
+            # `: type` annotation: skip depth-aware to ',' ')' or '='
+            if self.at(":"):
+                self.eat()
+                depth = 0
+                while self.peek() is not None:
+                    if depth == 0 and (self.at(",") or self.at(")")
+                                       or self.at("=")):
+                        break
+                    tok = self.eat()
+                    if tok.text in "([":
+                        depth += 1
+                    elif tok.text in ")]":
+                        depth -= 1
             # default value: skip depth-aware to ',' or ')'
             if self.at("="):
                 self.eat()
@@ -154,6 +221,11 @@ class PyParser(JsParser):
                 pos=p_tok.pos, line=p_tok.line, type_full_name=p_type))
             self.accept(",")
         self.expect(")")
+        if self.at("->"):  # return annotation: skim to the ':'
+            a = self.eat()
+            while (self.peek() is not None and not self.at(":")
+                   and self.peek().line == a.line):
+                self.eat()
         self.accept(":")
         method.signature = f"ANY({','.join('ANY' for _ in params)})"
         method.code = f"def {name_tok.text}"
@@ -239,8 +311,23 @@ class PyParser(JsParser):
             return []
         txt = t.text
         if txt == "@":
-            self._skip_line(t.line)
-            return []
+            return self.parse_py_decorated()
+        if txt == "try":
+            return [self.parse_py_try()]
+        if txt == "with":
+            return [self.parse_py_with()]
+        if txt == "raise":
+            # javasrc2cpg convention the C parser also uses: THROW control
+            # structure, CFG-empty (CfgCreator default case)
+            self.eat()
+            node = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="THROW",
+                           pos=t.pos, line=t.line)
+            if self.peek() is not None and self.peek().line == t.line:
+                ex = self.parse_expr()
+                if ex is not None:
+                    node.add(ex, order=1, argument_index=1)
+            node.code = self.text[t.pos:self._prev_end()].strip() or "raise"
+            return [node]
         if txt == "pass":
             self.eat()
             return []
@@ -323,6 +410,207 @@ class PyParser(JsParser):
             node.add(iterable, order=1, argument_index=1, condition=True)
         node.add(self.parse_py_block(self._col(t)), order=2)
         return node
+
+    def parse_py_try(self) -> AstNode:
+        """``try: / except E as e: / finally:`` → the same CONTROL_STRUCTURE
+        TRY/CATCH/FINALLY shape the C/Java parser emits (CfgCreator's
+        tryStatement handling applies unchanged; pysrc2cpg
+        PythonAstVisitor tryStatement)."""
+        t = self.eat()  # 'try'
+        self.accept(":")
+        node = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="TRY", code="try",
+                       pos=t.pos, line=t.line)
+        node.add(self.parse_py_block(self._col(t)), order=1)
+        col = self._col(t)
+        while (self.peek() is not None and self._col(self.peek()) == col
+               and self.peek().text == "except"):
+            c = self.eat()
+            cs = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="CATCH",
+                         code="except", pos=c.pos, line=c.line)
+            ty = ""
+            if self.at_kind("ident") and self.peek().line == c.line:
+                ty = self.eat().text
+            if self.at("as"):
+                self.eat()
+                if self.at_kind("ident"):
+                    v = self.eat()
+                    self.var_types[v.text] = ty or "ANY"
+                    cs.add(AstNode(kind="LOCAL", name=v.text,
+                                   code=f"{ty} {v.text}".strip(),
+                                   type_full_name=ty or "ANY",
+                                   pos=v.pos, line=v.line))
+            self.accept(":")
+            cs.add(self.parse_py_block(col))
+            node.add(cs)
+        if (self.peek() is not None and self._col(self.peek()) == col
+                and self.peek().text == "finally"):
+            f = self.eat()
+            self.accept(":")
+            fs = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="FINALLY",
+                         code="finally", pos=f.pos, line=f.line)
+            fs.add(self.parse_py_block(col), order=1)
+            node.add(fs)
+        return node
+
+    def parse_py_with(self) -> AstNode:
+        """``with ctx() as v:`` → BLOCK{ v = ctx(); <suite> } — the dataflow
+        core of pysrc2cpg's with-lowering (enter/exit calls elided in the
+        mini frontend; the binding and the suite CFG order are preserved)."""
+        t = self.eat()  # 'with'
+        expr = self.parse_expr()
+        blk = AstNode(kind="BLOCK", pos=t.pos, line=t.line)
+        var = None
+        if self.at("as"):
+            self.eat()
+            if self.at_kind("ident"):
+                var = self.eat()
+        self.accept(":")
+        blk.code = self.text[t.pos:self._prev_end()].strip()
+        if var is not None:
+            if var.text not in self.var_types:
+                self.var_types[var.text] = "ANY"
+                blk.add(AstNode(kind="LOCAL", name=var.text, code=var.text,
+                                pos=var.pos, line=var.line,
+                                type_full_name="ANY"))
+            bind = operator_call("<operator>.assignment",
+                                 f"{var.text} = {expr.code if expr else ''}",
+                                 var.pos, var.line)
+            bind.add(AstNode(kind="IDENTIFIER", name=var.text, code=var.text,
+                             pos=var.pos, line=var.line,
+                             type_full_name="ANY"), order=1, argument_index=1)
+            if expr is not None:
+                bind.add(expr, order=2, argument_index=2)
+            blk.add(bind)
+        elif expr is not None:
+            blk.add(expr)
+        blk.add(self.parse_py_block(self._col(t)))
+        return blk
+
+    # --- collection displays / comprehensions ------------------------------
+    def parse_primary(self) -> AstNode | None:
+        t = self.peek()
+        if t is not None and t.text == "[":
+            return self.parse_py_list_display(t)
+        if t is not None and t.text == "{":
+            return self.parse_py_dict_display(t)
+        return super().parse_primary()
+
+    def parse_py_list_display(self, t: Token) -> AstNode:
+        """``[a, b]`` → listLiteral; ``[expr for x in it if cond]`` →
+        listLiteral whose child 1 is the per-iteration binding ``x = it``
+        (the same binding shape the for-statement lowers to, so
+        reaching-defs see def-of-x-from-it before the body expression —
+        pysrc2cpg lowers comprehensions to a loop block with the same
+        dataflow)."""
+        self.eat()  # '['
+        call = operator_call(OP_LIST_LITERAL, "", t.pos, t.line)
+        if self.accept("]"):
+            call.code = "[]"
+            return call
+        first = self.parse_expr()
+        if self.at("for"):
+            self.eat()
+            var = self.eat() if self.at_kind("ident") else None
+            if self.at("in"):
+                self.eat()
+            iterable = self.parse_expr()
+            cond = None
+            if self.at("if"):
+                self.eat()
+                cond = self.parse_expr()
+            self.expect("]")
+            call.code = self.text[t.pos:self._prev_end()].strip()
+            order = 0
+            if var is not None:
+                if var.text not in self.var_types:
+                    self.var_types[var.text] = "ANY"
+                bind = operator_call("<operator>.assignment",
+                                     f"{var.text} = "
+                                     f"{iterable.code if iterable else ''}",
+                                     var.pos, var.line)
+                bind.add(AstNode(kind="IDENTIFIER", name=var.text,
+                                 code=var.text, pos=var.pos, line=var.line,
+                                 type_full_name="ANY"),
+                         order=1, argument_index=1)
+                if iterable is not None:
+                    bind.add(iterable, order=2, argument_index=2)
+                order += 1
+                call.add(bind, order=order, argument_index=order)
+            elif iterable is not None:
+                order += 1
+                call.add(iterable, order=order, argument_index=order)
+            if first is not None:
+                order += 1
+                call.add(first, order=order, argument_index=order)
+            if cond is not None:
+                order += 1
+                call.add(cond, order=order, argument_index=order)
+            return call
+        idx = 0
+        if first is not None:
+            idx += 1
+            call.add(first, order=idx, argument_index=idx)
+        while self.accept(","):
+            item = self.parse_expr()
+            if item is None:
+                break
+            idx += 1
+            call.add(item, order=idx, argument_index=idx)
+        self.expect("]")
+        call.code = self.text[t.pos:self._prev_end()].strip()
+        return call
+
+    def parse_py_dict_display(self, t: Token) -> AstNode:
+        """``{k: v, …}`` / ``{a, b}`` → dictLiteral over the element
+        expressions (pysrc2cpg dictLiteral/setLiteral lowering collapsed to
+        the dict spelling — both are PASSTHROUGH constructors)."""
+        self.eat()  # '{'
+        call = operator_call(OP_DICT_LITERAL, "", t.pos, t.line)
+        idx = 0
+        while self.peek() is not None and not self.at("}"):
+            item = self.parse_expr()
+            if item is not None:
+                idx += 1
+                call.add(item, order=idx, argument_index=idx)
+            if self.accept(":"):
+                val = self.parse_expr()
+                if val is not None:
+                    idx += 1
+                    call.add(val, order=idx, argument_index=idx)
+            if not self.accept(","):
+                break
+        self.expect("}")
+        call.code = self.text[t.pos:self._prev_end()].strip()
+        return call
+
+    # --- keyword arguments --------------------------------------------------
+    def _parse_args(self, call: AstNode) -> None:
+        """Python call arguments: ``f(a, key=val)`` — a keyword argument is
+        the VALUE expression (code keeps the ``key=val`` spelling), never an
+        assignment, so no phantom def of ``key`` reaches the dataflow
+        (pysrc2cpg keeps named args as ordinary arguments with argumentName)."""
+        idx = len([c for c in call.children if c.argument_index >= 1])
+        while self.peek() is not None and not self.at(")"):
+            k = self.peek()
+            if (k is not None and k.kind == "ident" and self.at("=", 1)
+                    and not self.at("==", 1)):
+                self.eat()  # key
+                self.eat()  # '='
+                val = self.parse_assignment_expr()
+                if val is not None:
+                    val.code = self.text[k.pos:self._prev_end()].strip()
+                    idx += 1
+                    call.add(val, order=len(call.children) + 1,
+                             argument_index=idx)
+            else:
+                arg = self.parse_assignment_expr()
+                if arg is None:
+                    break
+                idx += 1
+                call.add(arg, order=len(call.children) + 1, argument_index=idx)
+            if not self.accept(","):
+                break
+        self.expect(")")
 
     def parse_py_expr_statement(self) -> list[AstNode]:
         t = self.peek()

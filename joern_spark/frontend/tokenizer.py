@@ -43,6 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>0[xX][0-9a-fA-F]+[uUlL]*|\d+\.\d+[fF]?|\d+[uUlL]*[fF]?)
   | (?P<str>"(?:\\.|[^"\\])*")
   | (?P<char>'(?:\\.|[^'\\])*')
+  | (?P<tmpl>`(?:\\.|[^`\\])*`)
   | (?P<ident>\$?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>%s)
     """

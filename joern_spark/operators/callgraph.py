@@ -66,15 +66,6 @@ def static_call_linker(nodes: DataFrame, strategy: str = "auto",
     any broadcast threshold, and an unconditional broadcast would kill the
     job rather than degrade it.
     """
-    calls = nodes.filter(
-        (F.col("kind") == "CALL")
-        & F.col("dispatch_type").isin("STATIC_DISPATCH", "INLINED")
-    ).select(
-        F.col("node_id").alias("call_id"),
-        F.col("full_name").alias("m_full"),
-        F.col("signature").alias("c_sig"),
-        "doc_id", "method_id",
-    )
     return _static_candidates(nodes, strategy=strategy, hot_keys=hot_keys,
                               broadcast_budget=broadcast_budget).select(
         "src", "dst",
@@ -83,19 +74,36 @@ def static_call_linker(nodes: DataFrame, strategy: str = "auto",
     )
 
 
-def _static_candidates(nodes: DataFrame, strategy: str = "auto",
-                       hot_keys: DataFrame | None = None,
-                       broadcast_budget: int = MAX_BROADCAST_METHODS) -> DataFrame:
-    """Static-link candidate rows (src, dst, doc_id, method_id, m_external)."""
-    calls = nodes.filter(
+def _static_calls(nodes: DataFrame, id_alias: str = "call_id") -> DataFrame:
+    """Static-dispatch calls projection — the ONE definition of which calls
+    the static linker considers, shared by candidate generation and the
+    resolved-membership probe so the naive linker's leftover set can never
+    diverge from the static candidate set (round-4 advice)."""
+    return nodes.filter(
         (F.col("kind") == "CALL")
         & F.col("dispatch_type").isin("STATIC_DISPATCH", "INLINED")
     ).select(
-        F.col("node_id").alias("call_id"),
+        F.col("node_id").alias(id_alias),
         F.col("full_name").alias("m_full"),
         F.col("signature").alias("c_sig"),
         "doc_id", "method_id",
     )
+
+
+def _sig_conjunct():
+    """Reference semantics: signature is an extra conjunct only when the
+    call carries one (empty/null c_sig matches any method signature)."""
+    return (
+        (F.col("c_sig").isNull()) | (F.col("c_sig") == "")
+        | (F.col("c_sig") == F.col("m_sig"))
+    )
+
+
+def _static_candidates(nodes: DataFrame, strategy: str = "auto",
+                       hot_keys: DataFrame | None = None,
+                       broadcast_budget: int = MAX_BROADCAST_METHODS) -> DataFrame:
+    """Static-link candidate rows (src, dst, doc_id, method_id, m_external)."""
+    calls = _static_calls(nodes)
     methods = _method_dim(nodes)
     if strategy == "auto":
         from . import dims
@@ -113,11 +121,7 @@ def _static_candidates(nodes: DataFrame, strategy: str = "auto",
                              fact_salt_from="call_id", hot_keys=hot_keys)
     else:
         joined = calls.join(F.broadcast(methods), "m_full")
-    # reference: signature is an extra conjunct only when the call has one
-    joined = joined.filter(
-        (F.col("c_sig").isNull()) | (F.col("c_sig") == "")
-        | (F.col("c_sig") == F.col("m_sig"))
-    )
+    joined = joined.filter(_sig_conjunct())
     return joined.select(
         F.col("call_id").alias("src"), F.col("m_id").alias("dst"),
         "doc_id", "method_id", "m_external",
@@ -131,20 +135,15 @@ def _static_resolved(nodes: DataFrame) -> DataFrame:
     yields one row per resolved call, never the call×methods expansion. Used
     as the anti-join build side for leftover-only naive linking, where only
     set membership matters."""
-    calls = nodes.filter(
-        (F.col("kind") == "CALL")
-        & F.col("dispatch_type").isin("STATIC_DISPATCH", "INLINED")
-    ).select(
-        F.col("node_id").alias("src"),
-        F.col("full_name").alias("c_full"),
-        F.col("signature").alias("c_sig"),
+    calls = (
+        _static_calls(nodes, id_alias="src")
+        .withColumnRenamed("m_full", "c_full")
+        .select("src", "c_full", "c_sig")
     )
     methods = _method_dim(nodes).select("m_full", "m_sig")
     return calls.join(
         budgeted_broadcast(methods),
-        (F.col("c_full") == F.col("m_full"))
-        & (F.col("c_sig").isNull() | (F.col("c_sig") == "")
-           | (F.col("c_sig") == F.col("m_sig"))),
+        (F.col("c_full") == F.col("m_full")) & _sig_conjunct(),
         "left_semi",
     ).select("src")
 
@@ -294,7 +293,13 @@ def _dynamic_candidates(nodes: DataFrame, edges: DataFrame) -> DataFrame | None:
 
 
 def dynamic_call_linker(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """CHA resolution for DYNAMIC_DISPATCH calls.
+    """PARITY-ORACLE ONLY — not a production path. The pipeline resolves
+    dynamic dispatch through the one-pass aggregate arbitration in
+    :func:`link_calls`; this sequential window-based variant exists solely
+    so test_dims.py can A/B the two (test_plans.py asserts production never
+    plans it; tests/test_parity_oracle_isolation.py lints imports).
+
+    CHA resolution for DYNAMIC_DISPATCH calls.
 
     call full_name = ``Recv.m`` → candidates = methods ``C.m`` for every C in
     subclass-closure(Recv); if none, walk up the superclass chain
@@ -356,7 +361,11 @@ def _naive_candidates(nodes: DataFrame,
 
 
 def naive_call_linker(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
-    """Leftover calls linked by bare name against non-operator methods."""
+    """PARITY-ORACLE ONLY — not a production path (production uses
+    leftover-only ``_naive_candidates(resolved=...)`` inside the arbitration;
+    see :func:`dynamic_call_linker`'s marker for the lint/test guards).
+
+    Leftover calls linked by bare name against non-operator methods."""
     unlinked = _naive_candidates(nodes).join(
         call_edges.select(F.col("src")).distinct(), "src", "left_anti",
     )
@@ -368,7 +377,11 @@ def naive_call_linker(nodes: DataFrame, call_edges: DataFrame) -> DataFrame:
 
 
 def prefer_internal_call_edges(call_edges: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Drop a call's external-stub CALL edges when it also resolved to an
+    """PARITY-ORACLE ONLY — not a production path (the same pruning runs
+    inside :func:`link_calls`'s aggregate arbitration; see
+    :func:`dynamic_call_linker`'s marker for the lint/test guards).
+
+    Drop a call's external-stub CALL edges when it also resolved to an
     internal method (DynamicCallLinker.scala:187-196 pruning, applied across
     all linkers so a recovered-hint resolution supersedes a stub link)."""
     from pyspark.sql import Window as W

@@ -49,7 +49,7 @@ def dim_fits_hint(fits: bool):
 # every linker); keyed by the analyzed-plan hash so a probe runs once per
 # distinct dim per process. A stale entry can only mis-pick the join
 # strategy, never change results.
-_PROBE_MEMO: dict[tuple[int, int], bool] = {}
+_PROBE_MEMO: dict[tuple[int, int, int | None], bool] = {}
 _PROBE_MEMO_MAX = 4096
 
 
@@ -71,7 +71,14 @@ def budgeted_broadcast(dim: DataFrame, budget: int = MAX_BROADCAST_DIM,
         fits = _FITS_HINT
     if fits is None:
         try:
-            key = (dim.semanticHash(), budget)
+            # the verdict depends on WHICH frame was probed: a conservative
+            # bound-based False must not be replayed for bound-less callers
+            # of the same dim (or vice versa), so the bound is part of the key
+            key = (
+                dim.semanticHash(),
+                budget,
+                bound.semanticHash() if bound is not None else None,
+            )
         except Exception:
             key = None
         if key is not None and key in _PROBE_MEMO:

@@ -57,6 +57,9 @@ def default_semantics() -> dict[str, list[tuple[int, int]]]:
         "<operator>.dictLiteral": [PASSTHROUGH],
         "<operator>.setLiteral": [PASSTHROUGH],
         "<operator>.listLiteral": [PASSTHROUGH],
+        # JS template literal lowering (jssrc2cpg astForTemplateExpression →
+        # formatString): the result carries every interpolated part
+        "<operator>.formatString": [PASSTHROUGH],
         # common external C calls (DefaultSemantics.scala cFlows :90-125)
         "abs": [(1, 1), (1, -1)],
         "abort": [],

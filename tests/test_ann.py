@@ -50,8 +50,12 @@ def test_ivf_recall_on_fixed_corpus(results):
     exact = {(r.query_id, r.neighbor_id) for r in bf}
     r_ivf = len(exact & {(r.query_id, r.neighbor_id) for r in ivf}) / len(exact)
     r_lsh = len(exact & {(r.query_id, r.neighbor_id) for r in lsh}) / len(exact)
-    # deterministic corpus → stable figures (0.625 / 0.15 at sf0.01); at
-    # nprobe=6 the inverted-file search scans ~1/3 of the ~17 sf0.01 lists
-    # and dominates the 4-plane LSH buckets by 4x
-    assert r_ivf >= 0.6
+    # deterministic corpus → stable figures (0.65 / 0.325 at sf0.01). The
+    # round-5 scale redesign IMPROVED both: fixed-K hash-rank centroids
+    # lifted IVF 0.625 → 0.65 (16 balanced-ish lists vs the residue rule's
+    # 17 unbalanced ones), and the banded 16-plane space lifted LSH
+    # 0.15 → 0.325 (4-band multi-probe OR vs one 4-bit bucket) while making
+    # the bucket space growable with the table.
+    assert r_ivf >= 0.625
+    assert r_lsh >= 0.3
     assert r_ivf >= r_lsh

@@ -51,6 +51,61 @@ def test_js_lowering_shape():
     assert km[0]["dispatch_type"] == "DYNAMIC_DISPATCH"
 
 
+def test_js_arrow_functions():
+    """Arrow functions (round-5 depth work): named-binding arrows become
+    statically-linkable named METHODs; anonymous ones hoist as `<lambda>N`
+    with a METHOD_REF at the use site (jssrc2cpg nextClosureName)."""
+    js = (
+        "const add = (a, b) => a + b;\n"
+        "let sq = x => { return x * x; };\n"
+        "let z = add(sq(2), 3);\n"
+        "reg(e => e + 1);\n"
+    )
+    nodes, edges, _ = lower_doc("d.js", [
+        {"kind": "code", "text": js, "media_ref": "", "offset": 0}])
+    methods = {n["full_name"]: n for n in nodes if n["kind"] == "METHOD"}
+    assert {"add", "sq", "<lambda>2"} <= set(methods)
+    # expression-body arrow lowers to `return a + b`
+    add_rets = [n for n in nodes if n["kind"] == "RETURN"
+                and n["code"] == "a + b"]
+    assert add_rets
+    refs = [n for n in nodes if n["kind"] == "METHOD_REF"]
+    assert {r["full_name"] for r in refs} == {"add", "sq", "<lambda>2"}
+    # `add(…)` is a bare-name static-dispatch call whose full_name matches
+    # the named arrow METHOD — StaticCallLinker input shape (linking itself
+    # runs in the pipeline, covered by test_callgraph)
+    add_calls = [n for n in nodes if n["kind"] == "CALL"
+                 and n["name"] == "add"]
+    assert add_calls and add_calls[0]["full_name"] == "add"
+
+
+def test_js_destructuring():
+    js = "let {p, q: r} = src();\nlet [u, v] = pair();\nlog(p, r, u, v);\n"
+    nodes, _, _ = lower_doc("d.js", [
+        {"kind": "code", "text": js, "media_ref": "", "offset": 0}])
+    locals_ = {n["name"] for n in nodes if n["kind"] == "LOCAL"}
+    assert {"p", "r", "u", "v", "_tmp0", "_tmp1"} <= locals_
+    calls = [n["code"] for n in nodes if n["kind"] == "CALL"
+             and n["name"] == "<operator>.assignment"]
+    assert "p = _tmp0.p" in calls and "r = _tmp0.q" in calls
+    assert "u = _tmp1[0]" in calls and "v = _tmp1[1]" in calls
+
+
+def test_js_template_literal():
+    js = "let n = 7;\nlet msg = `n=${n + 1}!`;\n"
+    nodes, _, _ = lower_doc("d.js", [
+        {"kind": "code", "text": js, "media_ref": "", "offset": 0}])
+    fmt = [n for n in nodes if n["kind"] == "CALL"
+           and n["name"] == "<operator>.formatString"]
+    assert len(fmt) == 1 and fmt[0]["code"] == "`n=${n + 1}!`"
+    # interpolation parsed as a real expression AST
+    adds = [n for n in nodes if n["kind"] == "CALL"
+            and n["name"] == "<operator>.addition" and n["code"] == "n + 1"]
+    assert adds
+    lits = {n["code"] for n in nodes if n["kind"] == "LITERAL"}
+    assert {"n=", "!"} <= lits
+
+
 def test_js_member_index_access():
     js = "let o = po;\nlet a = o.field;\nlet b = o['key'];\nlet c = o[2];\n"
     nodes, _, _ = lower_doc("d.js", [

@@ -115,6 +115,85 @@ def py_nodes(cpg):
     return cpg.nodes.filter(F.col("doc_id") == F15)
 
 
+def test_py_decorator_lowering():
+    """``@dec`` → `f = dec(f)` rebinding with a METHOD_REF argument
+    (pysrc2cpg decorator-to-call conversion; round-5 depth work)."""
+    src = "@trace\ndef fx(x):\n    return x\n"
+    nodes, _, _ = _lower(src)
+    methods = {n["full_name"] for n in nodes if n["kind"] == "METHOD"}
+    assert "fx" in methods
+    asg = [n for n in nodes if n["kind"] == "CALL"
+           and n["code"] == "fx = trace(fx)"]
+    assert asg
+    refs = [n for n in nodes if n["kind"] == "METHOD_REF"]
+    assert refs and refs[0]["full_name"] == "fx"
+    dec_calls = [n for n in nodes if n["kind"] == "CALL"
+                 and n["name"] == "trace"]
+    assert dec_calls
+
+
+def test_py_comprehension_and_displays():
+    src = ("def g(items):\n"
+           "    q = [v + 2 for v in items if v > 0]\n"
+           "    d = {1: q}\n"
+           "    return q\n")
+    nodes, _, _ = _lower(src)
+    ll = [n for n in nodes if n["kind"] == "CALL"
+          and n["name"] == "<operator>.listLiteral"]
+    assert len(ll) == 1
+    assert ll[0]["code"] == "[v + 2 for v in items if v > 0]"
+    binds = [n for n in nodes if n["kind"] == "CALL"
+             and n["code"] == "v = items"]
+    assert binds  # per-iteration binding: def-of-v-from-items precedes body
+    dl = [n for n in nodes if n["kind"] == "CALL"
+          and n["name"] == "<operator>.dictLiteral"]
+    assert len(dl) == 1
+
+
+def test_py_try_except_with():
+    src = ("def h(p):\n"
+           "    try:\n"
+           "        r = work(p)\n"
+           "    except ValueError as e:\n"
+           "        r = 0\n"
+           "    finally:\n"
+           "        log(r)\n"
+           "    with open_ctx() as f:\n"
+           "        f.write(r)\n"
+           "    return r\n")
+    nodes, _, _ = _lower(src)
+    cs = {n["ctrl_type"] for n in nodes if n["kind"] == "CONTROL_STRUCTURE"}
+    assert {"TRY", "CATCH", "FINALLY"} <= cs
+    locs = {n["name"]: n["type_full_name"] for n in nodes
+            if n["kind"] == "LOCAL"}
+    assert locs.get("e") == "ValueError"
+    assert "f" in locs
+    binds = [n for n in nodes if n["kind"] == "CALL"
+             and n["code"] == "f = open_ctx()"]
+    assert binds
+
+
+def test_py_kwargs_and_annotations():
+    src = ("def k(a: int, scale=2, *args, **kw) -> int:\n"
+           "    return a * scale\n"
+           "def caller(z):\n"
+           "    return k(z, scale=3)\n")
+    nodes, _, _ = _lower(src)
+    k = [n for n in nodes if n["kind"] == "METHOD" and n["name"] == "k"][0]
+    params = [n["name"] for n in nodes
+              if n["kind"] == "METHOD_PARAMETER_IN"
+              and n["method_id"] == k["node_id"]]
+    assert params == ["a", "scale", "args", "kw"]
+    # kwarg is the VALUE expression — no phantom assignment to `scale`
+    call = [n for n in nodes if n["kind"] == "CALL"
+            and n["code"] == "k(z, scale=3)"]
+    assert call
+    phantom = [n for n in nodes if n["kind"] == "CALL"
+               and n["name"] == "<operator>.assignment"
+               and n["code"] == "scale=3"]
+    assert not phantom
+
+
 def test_py_fixture_in_pipeline(cpg, py_nodes):
     methods = {r["full_name"] for r in
                py_nodes.filter(F.col("kind") == "METHOD").collect()}

@@ -41,8 +41,14 @@ objects: cpg, res, spark, F, run_scan   (ctrl-d to exit)"""
 
 
 def build(sf_dir: str | None = None, out_dir: str | None = None,
-          cpus: int = 8):
-    """Build the session + pipeline objects the console binds."""
+          cpus: int = 8, workspace: str | None = None,
+          project: str = "default"):
+    """Build the session + pipeline objects the console binds.
+
+    With ``workspace``: open ``project`` from the named workspace when it is
+    already saved there (a pure snapshot read — no pipeline run, the
+    reference's ``open``), else ``importCode`` the corpus into it and save.
+    """
     from pyspark.sql import functions as F  # noqa: N812
 
     from joern_spark.corpus import fixture_docs_df
@@ -55,16 +61,28 @@ def build(sf_dir: str | None = None, out_dir: str | None = None,
     spark = get_spark(app_name="joern_spark_console", cpus=cpus,
                       shuffle_partitions=cpus,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
-    if sf_dir:
-        documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        docs = synth_docs(documents)
+    ws = None
+    if workspace is not None:
+        from joern_spark.workspace import Workspace
+
+        ws = Workspace(workspace)
+        if any(p["name"] == project for p in ws.projects()):
+            res = ws.open(spark, project)
+        else:
+            res = ws.import_code(
+                spark, sf_dir, project,
+                n_parts=4 if sf_dir is None else 32)
     else:
-        docs = fixture_docs_df(spark)
-    res = run_pipeline(spark, docs, out_dir=out_dir,
-                       n_parts=4 if sf_dir is None else 32)
+        if sf_dir:
+            documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            docs = synth_docs(documents)
+        else:
+            docs = fixture_docs_df(spark)
+        res = run_pipeline(spark, docs, out_dir=out_dir,
+                           n_parts=4 if sf_dir is None else 32)
     cpg = Cpg(nodes=res.nodes, edges=res.edges)
     return {"cpg": cpg, "res": res, "spark": spark, "F": F,
-            "run_scan": run_scan}
+            "run_scan": run_scan, "workspace": ws}
 
 
 def main() -> None:
@@ -74,11 +92,17 @@ def main() -> None:
     ap.add_argument("--out-dir", default=None,
                     help="durable snapshot dir (resumable re-load)")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--workspace", default=None,
+                    help="workspace dir: open --project if saved there, "
+                         "else importCode + save (console workspace layer)")
+    ap.add_argument("--project", default="default",
+                    help="project name inside --workspace")
     ap.add_argument("-c", dest="expr", default=None,
                     help="evaluate one expression and exit (no REPL)")
     args = ap.parse_args()
 
-    ns = build(args.sf_dir, args.out_dir, args.cpus)
+    ns = build(args.sf_dir, args.out_dir, args.cpus,
+               workspace=args.workspace, project=args.project)
     if args.expr is not None:
         out = eval(args.expr, ns)  # noqa: S307 — explicit user-supplied REPL input
         if out is not None:

@@ -34,6 +34,18 @@ print(f'{steal_fraction(b) * 100:.2f}')")
     echo "iter $i: load $LOAD — calibrating + firing pairs" >&2
     CAL=$(python tools/hw_calibration.py 5)
     echo "$CAL" >> "$OUT"
+    # bandwidth gate (round 5): neighbors saturating the memory controller
+    # are invisible to loadavg AND steal, but crater the low-width memcpy
+    # points (quiet-day 4-proc memcpy ≈ 1278 units, poisoned days ≈ 640).
+    # A pipeline pair fired into such a window measures the neighbor, not
+    # the engine — skip unless the 4-proc point clears the floor.
+    MEM4=$(echo "$CAL" | python -c "import json,sys; print(json.load(sys.stdin)['hw_calibration']['mem_points']['4'])")
+    BWOK=$(python -c "print(1 if float('$MEM4') >= ${MEMMIN:-950} else 0)")
+    if [ "$BWOK" != "1" ]; then
+      echo "iter $i: 4-proc memcpy $MEM4 < ${MEMMIN:-950} — bandwidth neighbor active, sleeping" >&2
+      sleep 150
+      continue
+    fi
     HW416=$(echo "$CAL" | python -c "import json,sys; print(json.load(sys.stdin)['hw_calibration']['eff']['4->16'])")
     HW832=$(echo "$CAL" | python -c "import json,sys; print(json.load(sys.stdin)['hw_calibration']['eff']['8->32'])")
     REP=16 N=8 HW_EFF=$HW832 bash tools/submit_scaling.sh | tail -3 >> "$OUT"
