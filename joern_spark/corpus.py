@@ -106,6 +106,12 @@ let b = a;
 let z = b.tally(2);
 z ??= 7;
 greet('bob');
+const twice = (n) => n + n;
+let t2 = twice(z);
+let {data: dd, extra} = h;
+let [d1, d2] = v;
+let tl = `z=${z + 1}!`;
+each(v, (e) => log(e));
 """
 
 F14_PACKAGE_JSON = """{
@@ -146,6 +152,21 @@ r = w.draw(41)
 v = w.flavor
 z = dyn_obj.total(2)
 s = py_greet("bob")
+
+@wraps
+def py_scale(x, factor=2):
+    return x * factor
+
+qs = [i + 1 for i in [r] if i > 0]
+ds = {1: r, 2: v}
+try:
+    y2 = py_scale(r, factor=3)
+except ValueError as exc:
+    y2 = 0
+finally:
+    emit(y2)
+with py_ctx() as fh:
+    emit(fh)
 """
 
 F16_SCANNERS_C = """/* seeded querydb-scanner positives */

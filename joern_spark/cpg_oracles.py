@@ -90,8 +90,9 @@ spans0 AS (
     SELECT did, 0 AS idx, 0 AS media_first, 'code' AS kind,
            CASE WHEN is_js THEN
            'const util = require(''pkg_' || nn || ''');' || {_NL} ||
+           'const fmt_' || m6 || ' = (a) => a + ' || bn || ';' || {_NL} ||
            'function helper_' || m6 || '(x) {{' || {_NL} ||
-           '  let s = x + ' || bn || ';' || {_NL} ||
+           '  let s = fmt_' || m6 || '(x);' || {_NL} ||
            '  log(s);'
            WHEN is_jimple THEN
            'public class JW_' || m6 || ' extends java.lang.Object {{' || {_NL} ||
@@ -102,9 +103,11 @@ spans0 AS (
            '    i0 := @parameter0: int;'
            WHEN is_py THEN
            'import pkg_' || nn || {_NL} ||
-           'def helper_' || m6 || '(x):' || {_NL} ||
+           '@trace' || {_NL} ||
+           'def helper_' || m6 || '(x, scale=1):' || {_NL} ||
            '    s = x + ' || bn || {_NL} ||
-           '    log(s)'
+           '    log(s)' || {_NL} ||
+           '    return s * scale'
            WHEN is_php THEN
            '<?php' || {_NL} ||
            'require ''pkg_' || nn || ''';' || {_NL} ||
@@ -160,7 +163,8 @@ spans0 AS (
            '  return s;' || {_NL} ||
            '}}' || {_NL} ||
            'class W_' || m6 || ' {{' || {_NL} ||
-           '  run(v) {{ return v + ' || cn || '; }}'
+           '  run(v) {{ return v + ' || cn || '; }}' || {_NL} ||
+           '}}'
            WHEN is_jimple THEN
            '    i1 = i0 + ' || cn || ';' || {_NL} ||
            '    i1 = virtualinvoke r0.<JW_' || m6 || ': int jtally(int)>(i1);' || {_NL} ||
@@ -169,10 +173,12 @@ spans0 AS (
            '  }}' || {_NL} ||
            '  public int jtally(int) {{'
            WHEN is_py THEN
-           '    return s' || {_NL} ||
            'class W_' || m6 || ':' || {_NL} ||
            '    def run(self, v):' || {_NL} ||
-           '        return v + ' || cn
+           '        return v + ' || cn || {_NL} ||
+           'w = W_' || m6 || '()' || {_NL} ||
+           't = w.run(' || an || ')' || {_NL} ||
+           'q = [e + ' || cn || ' for e in [t]]'
            WHEN is_php THEN
            '  return $s;' || {_NL} ||
            '}}' || {_NL} ||
@@ -224,10 +230,11 @@ spans0 AS (
     UNION ALL
     SELECT did, 2, 1, 'code',
            CASE WHEN is_js THEN
-           '}}' || {_NL} ||
            'let w = new W_' || m6 || '();' || {_NL} ||
            'let t = w.run(' || an || ');' || {_NL} ||
-           'let u = helper_' || m6 || '(t);'
+           'let [p, q] = t;' || {_NL} ||
+           'let m = `t=$' || '{{' || 'p + ' || bn || '}}`;' || {_NL} ||
+           'let u = helper_' || m6 || '(p);'
            WHEN is_jimple THEN
            '    int j0;' || {_NL} ||
            '    j0 := @parameter0: int;' || {_NL} ||
@@ -235,10 +242,12 @@ spans0 AS (
            '  }}' || {_NL} ||
            '}}'
            WHEN is_py THEN
-           'w = W_' || m6 || '()' || {_NL} ||
-           't = w.run(' || an || ')' || {_NL} ||
-           'if t > 0:' || {_NL} ||
-           '    u = helper_' || m6 || '(t)'
+           'try:' || {_NL} ||
+           '    u = helper_' || m6 || '(t, scale=' || bn || ')' || {_NL} ||
+           'except ValueError as err:' || {_NL} ||
+           '    u = 0' || {_NL} ||
+           'finally:' || {_NL} ||
+           '    log(u)'
            WHEN is_php THEN
            '$w = new W_' || m6 || '();' || {_NL} ||
            '$t = $w->run(' || an || ');' || {_NL} ||

@@ -1798,6 +1798,41 @@ DEFAULT_BUNDLE = [
 ]
 
 
+# query name → reference querydb pack (querydb/src/main/scala/io/joern/
+# scanners/<pack>/...); drives the per-pack CI gate (test_export_scan.py)
+# and console pack filtering
+QUERY_PACKS = {
+    "malloc-without-free": "core", "literal-to-format-sink": "core",
+    "uncalled-internal-method": "core", "deeply-nested-control": "core",
+    "call-to-gets": "c", "call-to-scanf": "c", "call-to-strcat": "c",
+    "call-to-strcpy": "c", "call-to-strtok": "c", "call-to-getwd": "c",
+    "format-controlled-printf": "c", "signed-left-shift": "c",
+    "strlen-truncation": "c", "setuid-without-setgid": "c",
+    "setgid-without-setgroups": "c", "copy-loop": "c",
+    "free-follows-value-reuse": "c", "free-field-no-reassign": "c",
+    "free-returned-value": "c", "unchecked-read-recv-malloc": "c",
+    "socket-send": "c", "file-operation-race": "c", "too-many-params": "c",
+    "too-high-complexity": "c", "too-long": "c", "multiple-returns": "c",
+    "too-many-loops": "c", "too-nested": "c", "strncpy-no-null-term": "c",
+    "constant-array-access-no-check": "c", "malloc-memcpy-int-overflow": "c",
+    "sql-injection": "java", "call-to-exec": "java",
+    "unsafe-crypto-hash-algo": "java", "low-pbe-key-iterations": "java",
+    "ineffective-certificate-check": "java", "xss-servlet": "java",
+    "usage-of-insecure-protocol": "kotlin",
+    "unzip-directory-traversal": "kotlin",
+    "usage-of-nop-trust-manager": "kotlin",
+    "fragment-injection": "android", "root-detection-via-file-checks": "android",
+    "manifest-backup-enabled": "android", "tap-jacking": "android",
+    "vuln-prng-android-v16_18": "android", "intent-redirection": "android",
+    "broadcast-to-file-write": "android",
+    "intent-to-runtime-exec": "android",
+    "external-storage-to-dex-classloader": "android",
+    "insecure-load-url-to-exec": "android",
+    "call-to-strcpy-ghidra": "ghidra", "getenv-to-strcpy": "ghidra",
+    "php-sql-injection": "php", "shell-exec": "php",
+}
+
+
 def run_scan(nodes: DataFrame, edges: DataFrame,
              bundle: list[Query] | None = None) -> DataFrame:
     """→ findings(name, title, severity, node_id, doc_id, code)."""

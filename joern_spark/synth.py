@@ -52,8 +52,9 @@ def js_code_for_key(k: int, helper: str) -> str:
     m6 = f"{k % 1000000:06d}"
     return (
         f"const util = require('pkg_{k % 50:02d}');\n"
+        f"const fmt_{m6} = (a) => a + {k % 13};\n"
         f"function {helper}(x) {{\n"
-        f"  let s = x + {k % 13};\n"
+        f"  let s = fmt_{m6}(x);\n"
         f"  log(s);\n"
         f"  return s;\n"
         f"}}\n"
@@ -62,7 +63,9 @@ def js_code_for_key(k: int, helper: str) -> str:
         f"}}\n"
         f"let w = new W_{m6}();\n"
         f"let t = w.run({k % 97});\n"
-        f"let u = {helper}(t);"
+        f"let [p, q] = t;\n"
+        f"let m = `t=${{p + {k % 13}}}`;\n"
+        f"let u = {helper}(p);"
     )
 
 
@@ -76,17 +79,23 @@ def py_code_for_key(k: int, helper: str) -> str:
     m6 = f"{k % 1000000:06d}"
     return (
         f"import pkg_{k % 50:02d}\n"
-        f"def {helper}(x):\n"
+        f"@trace\n"
+        f"def {helper}(x, scale=1):\n"
         f"    s = x + {k % 13}\n"
         f"    log(s)\n"
-        f"    return s\n"
+        f"    return s * scale\n"
         f"class W_{m6}:\n"
         f"    def run(self, v):\n"
         f"        return v + {k % 7}\n"
         f"w = W_{m6}()\n"
         f"t = w.run({k % 97})\n"
-        f"if t > 0:\n"
-        f"    u = {helper}(t)"
+        f"q = [e + {k % 7} for e in [t]]\n"
+        f"try:\n"
+        f"    u = {helper}(t, scale={k % 13})\n"
+        f"except ValueError as err:\n"
+        f"    u = 0\n"
+        f"finally:\n"
+        f"    log(u)"
     )
 
 

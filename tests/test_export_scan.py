@@ -309,6 +309,30 @@ def test_android_kotlin_dataflow_ports(scan_rows):
         ("fixtures/java/WebHost.java", "rt.exec(cmd)")]
 
 
+# per-pack finding counts over the fixture corpus: the 54-query bundle is
+# golden-locked as a SET elsewhere; this pins each reference pack's count so
+# a regression in one pack can't hide inside the aggregate (round-4 verdict
+# ask #7). Counts are deterministic over the fixture corpus.
+_EXPECTED_PACK_COUNTS = {
+    "android": 11, "c": 44, "core": 127, "ghidra": 7, "java": 11,
+    "kotlin": 5, "php": 4,
+}
+
+
+def test_per_pack_finding_counts(scan_rows):
+    from joern_spark.scan import DEFAULT_BUNDLE, QUERY_PACKS
+
+    # every bundle query is pack-assigned, and vice versa
+    bundle_names = {q.name for q in DEFAULT_BUNDLE}
+    assert bundle_names == set(QUERY_PACKS), (
+        bundle_names ^ set(QUERY_PACKS)
+    )
+    counts: dict = {}
+    for r in scan_rows:
+        counts[QUERY_PACKS[r["name"]]] = counts.get(QUERY_PACKS[r["name"]], 0) + 1
+    assert counts == _EXPECTED_PACK_COUNTS, counts
+
+
 def test_too_long_logic(cpg):
     """too-long with an explicit small threshold (the reference-default 1000
     is untestable on fixture-sized methods): line-span derivation fires on
