@@ -62,6 +62,11 @@ class CParser:
         self.comments: list[Token] = []
         self.toks: list[Token] = tokenize(text, comments=self.comments)
         self.i = 0
+        # template-parameter names registered by `template <typename T>`
+        # headers — treated as type keywords for the templated entity
+        # (c2cpg models the full CDT template AST; the mini keeps the
+        # function/struct parseable with T as an opaque type)
+        self.type_names: set[str] = set()
 
     def comment_nodes(self) -> "list[AstNode]":
         """COMMENT nodes for the skipped // and /* */ runs — top-level, so
@@ -113,7 +118,8 @@ class CParser:
         t = self.peek(k)
         if t is None:
             return False
-        return t.kind == "kw" and t.text in TYPE_KEYWORDS
+        return (t.kind == "kw" and t.text in TYPE_KEYWORDS) or (
+            t.kind == "ident" and t.text in self.type_names)
 
     def parse_type(self) -> str:
         parts: list[str] = []
@@ -122,11 +128,25 @@ class CParser:
             parts.append(t.text)
             if t.text in ("struct", "union", "enum") and self.at_kind("ident"):
                 parts.append(self.eat().text)
+            if self.at("<"):  # template arguments on a known type: Box<int>
+                parts.append(self._swallow_template_args())
         stars = ""
         while self.at("*"):
             self.eat()
             stars += "*"
         return (" ".join(parts) + stars) if parts else stars
+
+    def _swallow_template_args(self) -> str:
+        """Consume a balanced ``<…>`` group, returning its source text."""
+        start = self.eat()  # '<'
+        depth = 1
+        while self.peek() is not None and depth > 0:
+            t = self.eat()
+            if t.text == "<":
+                depth += 1
+            elif t.text == ">":
+                depth -= 1
+        return self.text[start.pos:self._prev_end()].strip()
 
     # --- entry -------------------------------------------------------------
     def parse_translation_unit(self) -> list[AstNode]:
@@ -144,6 +164,25 @@ class CParser:
         t = self.peek()
         if t is None:
             return None
+        if t.text == "template" and self.at("<", 1):
+            # `template <typename T, class U>` header: register the
+            # parameter names as types, then parse the templated
+            # function/struct normally (c2cpg dispatches the CDT template
+            # AST; the mini parses the entity with opaque parameter types)
+            self.eat()  # 'template'
+            self.eat()  # '<'
+            depth = 1
+            prev = None
+            while self.peek() is not None and depth > 0:
+                tok = self.eat()
+                if tok.text == "<":
+                    depth += 1
+                elif tok.text == ">":
+                    depth -= 1
+                elif tok.kind == "ident" and prev in ("typename", "class"):
+                    self.type_names.add(tok.text)
+                prev = tok.text
+            return self.parse_top_level()
         if t.text in ("struct", "union", "enum") and self.at("{", 2):
             return self.parse_struct_decl()
         if self.at_type() or (t.kind == "ident" and self.at_kind("ident", 1)):

@@ -112,6 +112,10 @@ def detect_language(doc_id: str, text: str) -> str:
         return "ruby"
     if _JS_HINT.search(text):
         return "js"
+    # `template <...>` headers are C++ (c2cpg territory) — must win over the
+    # Java `class` sniff, since `template <class U>` contains that keyword
+    if re.search(r"\btemplate\s*<", text):
+        return "c"
     if _JAVA_HINT.search(text):
         return "java"
     return "c"

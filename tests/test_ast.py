@@ -258,3 +258,41 @@ def test_annotation_nodes(g):
     parent = ast.iloc[0]["src"]
     assert g.nodes.loc[parent, "kind"] == "METHOD"
     assert g.nodes.loc[parent, "name"] == "handle"
+
+
+def test_cpp_template_subset():
+    """`template <typename T>` headers (round 5): parameter names become
+    opaque types for the templated entity, template args on known types are
+    swallowed into the type string, and call sites into the templated
+    function stay statically linkable by bare name (c2cpg dispatches the
+    full CDT template AST — the mini keeps the entity parseable)."""
+    from joern_spark.frontend.lowering import lower_doc
+
+    src = (
+        "template <typename T>\n"
+        "T maxv(T a, T b) {\n"
+        "  if (a > b) { return a; }\n"
+        "  return b;\n"
+        "}\n"
+        "template <class U> struct Box {\n"
+        "  U v;\n"
+        "};\n"
+        "int use(int x) {\n"
+        "  int m = maxv(x, 3);\n"
+        "  return m;\n"
+        "}\n"
+    )
+    nodes, _, _ = lower_doc("d.c", [
+        {"kind": "code", "text": src, "media_ref": "", "offset": 0}])
+    methods = {n["name"]: n for n in nodes if n["kind"] == "METHOD"}
+    assert {"maxv", "use"} <= set(methods)
+    params = {n["name"]: n["type_full_name"] for n in nodes
+              if n["kind"] == "METHOD_PARAMETER_IN"
+              and n["method_id"] == methods["maxv"]["node_id"]}
+    assert params == {"a": "T", "b": "T"}
+    box = [n for n in nodes if n["kind"] == "TYPE_DECL" and n["name"] == "Box"]
+    assert box
+    member = [n for n in nodes if n["kind"] == "MEMBER" and n["name"] == "v"]
+    assert member and member[0]["type_full_name"] == "U"
+    calls = [n for n in nodes if n["kind"] == "CALL" and n["name"] == "maxv"]
+    assert calls and calls[0]["full_name"] == "maxv"
