@@ -158,6 +158,9 @@ class CParser:
                 out.append(node)
             if self.i == start:  # no progress: skip one token
                 self.eat()
+        # lambda METHODs hoisted from expression position (Java/C# dialects;
+        # the JS/Py translation units append their own)
+        out.extend(getattr(self, "_hoisted", []))
         return out
 
     def parse_top_level(self) -> AstNode | None:

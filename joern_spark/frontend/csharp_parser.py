@@ -32,6 +32,9 @@ _CS_TYPES = {"string", "bool", "object", "decimal", "uint", "ulong", "sbyte"}
 
 
 class CSharpParser(JavaParser):
+    # C# lambdas use `=>` (`x => x + 1`), not Java's `->`
+    ARROW = "=>"
+
     # --- types ---------------------------------------------------------------
     def at_type(self, k: int = 0) -> bool:
         if super().at_type(k):
@@ -104,6 +107,7 @@ class CSharpParser(JavaParser):
                 self.eat()
             if self.i == start:
                 self.eat()
+        out.extend(self._hoisted)  # `=>` lambda METHODs from expressions
         return out
 
     # --- members -------------------------------------------------------------

@@ -83,6 +83,7 @@ class GoParser(JsParser):
             prog.add(AstNode(kind="METHOD_RETURN", code="RET",
                              type_full_name="ANY", pos=0, line=1), order=2)
             out.append(prog)
+        out.extend(self._hoisted)  # lambda METHODs from expression position
         return out
 
     # --- imports -------------------------------------------------------------

@@ -77,12 +77,104 @@ class _AnnotationMixin:
 
 
 class JavaParser(_AnnotationMixin, CParser):
+    # lambda arrow token: `->` in Java (javasrc2cpg astForLambdaExpr);
+    # dialect subclasses override (`=>` in JS arrows and C# lambdas)
+    ARROW = "->"
+
     def __init__(self, text: str):
         super().__init__(text)
         self.current_class = ""
         self.class_methods: dict[str, set[str]] = {}
         self.var_types: dict[str, str] = {}
         self.current_is_static = False
+        # hoisted `<lambda>N` METHODs met in expression position, appended
+        # to the translation unit (javasrc2cpg's lambda-method convention)
+        self._hoisted: list[AstNode] = []
+        self._lambda_n = 0
+
+    # --- lambdas / arrow functions -----------------------------------------
+    def _at_arrow(self) -> bool:
+        """Lookahead: `ident ARROW` or `( … ) ARROW` starts a lambda."""
+        if self.at_kind("ident") and self.at(self.ARROW, 1):
+            return True
+        if self.at("("):
+            depth = 0
+            j = self.i
+            while j < len(self.toks):
+                txt = self.toks[j].text
+                if txt == "(":
+                    depth += 1
+                elif txt == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return (j + 1 < len(self.toks)
+                                and self.toks[j + 1].text == self.ARROW)
+                j += 1
+        return False
+
+    def parse_arrow(self) -> AstNode:
+        """Lambda → hoisted `<lambda>N` METHOD + a METHOD_REF in expression
+        position; expression bodies lower to `return <expr>`. A named
+        binding (`f = (a) -> …`) adopts the variable's name at the
+        declaration site, making the call target statically linkable."""
+        start = self.peek()
+        params = []
+        prev_vars = self.var_types
+        self.var_types = dict(prev_vars)  # closure: outer vars stay visible
+        if self.at("("):
+            self.eat()
+            while self.peek() is not None and not self.at(")"):
+                if self.at_kind("ident"):
+                    # typed params (`(int a) -> …`): the LAST ident before
+                    # ',' / ')' is the name
+                    p = self.eat()
+                    while self.at_kind("ident"):
+                        p = self.eat()
+                    params.append(p)
+                else:
+                    self.eat()
+                self.accept(",")
+            self.expect(")")
+        else:
+            params.append(self.eat())
+        self.expect(self.ARROW)
+        name = f"<lambda>{self._lambda_n}"
+        self._lambda_n += 1
+        method = AstNode(kind="METHOD", name=name, full_name=name,
+                         signature=f"ANY({','.join('ANY' for _ in params)})",
+                         pos=start.pos, line=start.line)
+        for idx, p in enumerate(params, start=1):
+            self.var_types[p.text] = "ANY"
+            method.add(AstNode(kind="METHOD_PARAMETER_IN", name=p.text,
+                               code=p.text, pos=p.pos, line=p.line,
+                               type_full_name="ANY"),
+                       order=idx, argument_index=idx)
+        if self.at("{"):
+            body = self.parse_compound()
+        else:
+            expr = self.parse_assignment_expr()
+            body = AstNode(kind="BLOCK", pos=start.pos, line=start.line)
+            ret = AstNode(kind="RETURN", pos=start.pos, line=start.line)
+            if expr is not None:
+                ret.add(expr, order=1, argument_index=1)
+                ret.code = expr.code
+            body.add(ret, order=1)
+        method.add(body, order=len(params) + 1)
+        method.add(AstNode(kind="METHOD_RETURN", code="RET",
+                           type_full_name="ANY", pos=start.pos,
+                           line=start.line), order=len(params) + 2)
+        method.code = self.text[start.pos:self._prev_end()].strip()
+        self.var_types = prev_vars
+        self._hoisted.append(method)
+        ref = AstNode(kind="METHOD_REF", name=name, full_name=name,
+                      code=method.code, pos=start.pos, line=start.line)
+        ref.arrow_method = method  # named-binding rename hook (declaration)
+        return ref
+
+    def parse_assignment_expr(self) -> AstNode | None:
+        if self._at_arrow():
+            return self.parse_arrow()
+        return super().parse_assignment_expr()
 
     # Java: class types are plain identifiers; a decl is `Type name ...`
     def at_type(self, k: int = 0) -> bool:
@@ -169,6 +261,7 @@ class JavaParser(_AnnotationMixin, CParser):
                 self.eat()
             if self.i == start:
                 self.eat()
+        out.extend(self._hoisted)  # lambda METHODs met in expression position
         if package and out:
             # reference: types sit under a NAMESPACE_BLOCK per file
             # (NamespaceCreator.scala groups the blocks by name later)

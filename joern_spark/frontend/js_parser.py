@@ -51,14 +51,13 @@ class JsParser(JavaParser):
     from .ast_model import OP_NOT_NULL_ASSERT as _NNA
     ASSIGN_NAMES = {**JavaParser.ASSIGN_NAMES, "??=": _NNA}
 
+    # arrow functions use `=>` (jssrc2cpg nextClosureName convention); the
+    # parse machinery lives in JavaParser.parse_arrow/_at_arrow
+    ARROW = "=>"
+
     def __init__(self, text: str):
         super().__init__(text)
-        # hoisted lambda METHODs (arrow functions met in expression position)
-        # appended to the translation unit, jssrc2cpg's `<lambda>N` naming
-        # (AstCreator nextClosureName)
-        self._hoisted: list[AstNode] = []
-        self._lambda_n = 0
-        self._tmp_n = 0
+        self._tmp_n = 0  # destructuring temp counter
 
     # JS has no type syntax: every typed-declaration heuristic is off; locals
     # arrive via var/let/const keywords instead.
@@ -149,84 +148,6 @@ class JsParser(JavaParser):
         if t is not None and t.text == "function":
             return [self.parse_js_function()]
         return super().parse_statement()
-
-    # --- arrow functions ------------------------------------------------------
-    def _at_arrow(self) -> bool:
-        """Lookahead: `ident =>` or `( … ) =>` starts an arrow function."""
-        if self.at_kind("ident") and self.at("=>", 1):
-            return True
-        if self.at("("):
-            depth = 0
-            j = self.i
-            while j < len(self.toks):
-                txt = self.toks[j].text
-                if txt == "(":
-                    depth += 1
-                elif txt == ")":
-                    depth -= 1
-                    if depth == 0:
-                        return (j + 1 < len(self.toks)
-                                and self.toks[j + 1].text == "=>")
-                j += 1
-        return False
-
-    def parse_arrow(self) -> AstNode:
-        """Arrow function → hoisted `<lambda>N` METHOD + a METHOD_REF in
-        expression position (jssrc2cpg astForFunctionExpression /
-        nextClosureName; expression bodies lower to `return <expr>`)."""
-        start = self.peek()
-        params: list[Token] = []
-        prev_vars = self.var_types
-        self.var_types = dict(prev_vars)  # closure: outer vars stay visible
-        if self.at("("):
-            self.eat()
-            while self.peek() is not None and not self.at(")"):
-                if self.at_kind("ident"):
-                    params.append(self.eat())
-                else:
-                    self.eat()
-                self.accept(",")
-            self.expect(")")
-        else:
-            params.append(self.eat())
-        self.expect("=>")
-        name = f"<lambda>{self._lambda_n}"
-        self._lambda_n += 1
-        method = AstNode(kind="METHOD", name=name, full_name=name,
-                         signature=f"ANY({','.join('ANY' for _ in params)})",
-                         pos=start.pos, line=start.line)
-        for idx, p in enumerate(params, start=1):
-            self.var_types[p.text] = "ANY"
-            method.add(AstNode(kind="METHOD_PARAMETER_IN", name=p.text,
-                               code=p.text, pos=p.pos, line=p.line,
-                               type_full_name="ANY"),
-                       order=idx, argument_index=idx)
-        if self.at("{"):
-            body = self.parse_compound()
-        else:
-            expr = self.parse_assignment_expr()
-            body = AstNode(kind="BLOCK", pos=start.pos, line=start.line)
-            ret = AstNode(kind="RETURN", pos=start.pos, line=start.line)
-            if expr is not None:
-                ret.add(expr, order=1, argument_index=1)
-                ret.code = expr.code
-            body.add(ret, order=1)
-        method.add(body, order=len(params) + 1)
-        method.add(AstNode(kind="METHOD_RETURN", code="RET",
-                           type_full_name="ANY", pos=start.pos,
-                           line=start.line), order=len(params) + 2)
-        method.code = self.text[start.pos:self._prev_end()].strip()
-        self.var_types = prev_vars
-        self._hoisted.append(method)
-        ref = AstNode(kind="METHOD_REF", name=name, full_name=name,
-                      code=method.code, pos=start.pos, line=start.line)
-        ref.arrow_method = method  # named-binding rename hook (declaration)
-        return ref
-
-    def parse_assignment_expr(self) -> AstNode | None:
-        if self._at_arrow():
-            return self.parse_arrow()
-        return super().parse_assignment_expr()
 
     # --- destructuring --------------------------------------------------------
     def _parse_destructuring(self, start: Token) -> list[AstNode]:

@@ -52,6 +52,12 @@ _INCLUDE_KINDS = ("require", "require_once", "include", "include_once")
 
 
 class PhpParser(JsParser):
+    # PHP's `=>` is the array key-value separator (`[$k => $v]`), never a
+    # bare arrow function (those use the `fn(...) =>` keyword form) — the
+    # inherited ident-then-ARROW lookahead must not misfire on array keys
+    def _at_arrow(self) -> bool:
+        return False
+
     def __init__(self, text: str):
         clean = _PHP_TAGS.sub(lambda m: " " * len(m.group()), text)
         super().__init__(clean)

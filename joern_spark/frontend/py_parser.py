@@ -493,7 +493,55 @@ class PyParser(JsParser):
             return self.parse_py_list_display(t)
         if t is not None and t.text == "{":
             return self.parse_py_dict_display(t)
+        if t is not None and t.text == "lambda":
+            return self.parse_py_lambda(t)
         return super().parse_primary()
+
+    def parse_py_lambda(self, t: Token) -> AstNode:
+        """``lambda x: expr`` → hoisted `<lambda>N` METHOD + METHOD_REF,
+        the same shape as JS arrows (pysrc2cpg lambda-method convention);
+        a named binding adopts the variable's name at the assignment."""
+        self.eat()  # 'lambda'
+        params: list[Token] = []
+        prev_vars = self.var_types
+        self.var_types = dict(prev_vars)
+        while self.peek() is not None and not self.at(":"):
+            if self.at_kind("ident"):
+                p = self.eat()
+                params.append(p)
+                self.var_types[p.text] = "ANY"
+            else:
+                self.eat()
+            self.accept(",")
+        self.accept(":")
+        expr = self.parse_expr()
+        name = f"<lambda>{self._lambda_n}"
+        self._lambda_n += 1
+        method = AstNode(kind="METHOD", name=name, full_name=name,
+                         signature=f"ANY({','.join('ANY' for _ in params)})",
+                         pos=t.pos, line=t.line)
+        for idx, p in enumerate(params, start=1):
+            method.add(AstNode(kind="METHOD_PARAMETER_IN", name=p.text,
+                               code=p.text, pos=p.pos, line=p.line,
+                               type_full_name="ANY"),
+                       order=idx, argument_index=idx)
+        body = AstNode(kind="BLOCK", pos=t.pos, line=t.line)
+        ret = AstNode(kind="RETURN", pos=t.pos, line=t.line)
+        if expr is not None:
+            ret.add(expr, order=1, argument_index=1)
+            ret.code = expr.code
+        body.add(ret, order=1)
+        method.add(body, order=len(params) + 1)
+        method.add(AstNode(kind="METHOD_RETURN", code="RET",
+                           type_full_name="ANY", pos=t.pos, line=t.line),
+                   order=len(params) + 2)
+        method.code = self.text[t.pos:self._prev_end()].strip()
+        self.var_types = prev_vars
+        self._hoisted.append(method)
+        ref = AstNode(kind="METHOD_REF", name=name, full_name=name,
+                      code=method.code, pos=t.pos, line=t.line)
+        ref.arrow_method = method
+        return ref
 
     def parse_py_list_display(self, t: Token) -> AstNode:
         """``[a, b]`` → listLiteral; ``[expr for x in it if cond]`` →
@@ -621,6 +669,14 @@ class PyParser(JsParser):
             name_tok = self.eat()
             self.eat()  # '='
             rhs = self.parse_assignment_expr()
+            if rhs is not None and getattr(rhs, "arrow_method", None) is not None:
+                # `f = lambda x: …`: adopt the declared name (statically
+                # linkable, like JS named-arrow bindings)
+                m = rhs.arrow_method
+                m.name = name_tok.text
+                m.full_name = (f"{self.current_class}.{name_tok.text}"
+                               if self.current_class else name_tok.text)
+                rhs.name, rhs.full_name = m.name, m.full_name
             out: list[AstNode] = []
             rtype = ""
             if rhs is not None:

@@ -80,6 +80,7 @@ class RubyParser(PyParser):
             prog.add(AstNode(kind="METHOD_RETURN", code="RET",
                              type_full_name="ANY", pos=0, line=1), order=2)
             out.append(prog)
+        out.extend(self._hoisted)  # lambda METHODs from expression position
         return out
 
     def parse_ruby_require(self) -> AstNode | None:

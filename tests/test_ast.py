@@ -296,3 +296,40 @@ def test_cpp_template_subset():
     assert member and member[0]["type_full_name"] == "U"
     calls = [n for n in nodes if n["kind"] == "CALL" and n["name"] == "maxv"]
     assert calls and calls[0]["full_name"] == "maxv"
+
+
+def test_lambda_expressions_java_csharp_python():
+    """Lambdas across dialects (round 5): Java `->`, C# `=>`, Python
+    `lambda` all lower to hoisted `<lambda>N` METHODs with a METHOD_REF at
+    the use site; named bindings adopt the variable's name (statically
+    linkable). PHP's array `=>` must never misfire as a lambda."""
+    from joern_spark.frontend.lowering import lower_doc
+
+    jsrc = ("class A {\n  int go(int z) {\n"
+            "    each(items, x -> use(x + z));\n    return 0;\n  }\n}\n")
+    nodes, _, _ = lower_doc("d.java", [
+        {"kind": "code", "text": jsrc, "media_ref": "", "offset": 0}])
+    kinds = {(n["kind"], n["name"]) for n in nodes}
+    assert ("METHOD", "<lambda>0") in kinds
+    assert ("METHOD_REF", "<lambda>0") in kinds
+
+    cs = ("using Sys;\nclass B {\n  public int Go(int z) {\n"
+          "    var f = (int a) => a + z;\n    return 0;\n  }\n}\n")
+    nodes, _, _ = lower_doc("d.cs", [
+        {"kind": "code", "text": cs, "media_ref": "", "offset": 0}])
+    assert any(n["kind"] == "METHOD" and n["name"] == "<lambda>0"
+               for n in nodes)
+
+    py = "sq = lambda x: x * x\nr = sq(4)\n"
+    nodes, _, _ = lower_doc("d.py", [
+        {"kind": "code", "text": py, "media_ref": "", "offset": 0}])
+    methods = {n["name"] for n in nodes if n["kind"] == "METHOD"}
+    assert "sq" in methods  # named binding adopted
+    calls = [n for n in nodes if n["kind"] == "CALL" and n["name"] == "sq"]
+    assert calls and calls[0]["full_name"] == "sq"
+
+    php = "<?php\n$m = array(1, 2);\n$x = 3;\n"
+    nodes, _, _ = lower_doc("d.php", [
+        {"kind": "code", "text": php, "media_ref": "", "offset": 0}])
+    assert not any("<lambda>" in (n["name"] or "")
+                   for n in nodes if n["kind"] == "METHOD")
