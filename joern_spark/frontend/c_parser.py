@@ -169,23 +169,33 @@ class CParser:
             return None
         if t.text == "template" and self.at("<", 1):
             # `template <typename T, class U>` header: register the
-            # parameter names as types, then parse the templated
-            # function/struct normally (c2cpg dispatches the CDT template
-            # AST; the mini parses the entity with opaque parameter types)
+            # parameter names as types FOR THE TEMPLATED ENTITY ONLY (a
+            # later unrelated `int T = 1;` must not see T as a type), then
+            # parse the function/struct normally (c2cpg dispatches the CDT
+            # template AST; the mini parses with opaque parameter types).
+            # A templated struct's own name stays registered so later
+            # `Box<int> v;` declarations parse as types.
             self.eat()  # 'template'
             self.eat()  # '<'
             depth = 1
             prev = None
+            added: set[str] = set()
             while self.peek() is not None and depth > 0:
                 tok = self.eat()
                 if tok.text == "<":
                     depth += 1
                 elif tok.text == ">":
                     depth -= 1
-                elif tok.kind == "ident" and prev in ("typename", "class"):
+                elif tok.kind == "ident" and prev in ("typename", "class") \
+                        and tok.text not in self.type_names:
                     self.type_names.add(tok.text)
+                    added.add(tok.text)
                 prev = tok.text
-            return self.parse_top_level()
+            entity = self.parse_top_level()
+            self.type_names -= added
+            if entity is not None and entity.kind == "TYPE_DECL":
+                self.type_names.add(entity.name)
+            return entity
         if t.text in ("struct", "union", "enum") and self.at("{", 2):
             return self.parse_struct_decl()
         if self.at_type() or (t.kind == "ident" and self.at_kind("ident", 1)):

@@ -125,11 +125,23 @@ class JavaParser(_AnnotationMixin, CParser):
             self.eat()
             while self.peek() is not None and not self.at(")"):
                 if self.at_kind("ident"):
-                    # typed params (`(int a) -> …`): the LAST ident before
-                    # ',' / ')' is the name
+                    # typed params (`(int a) -> …`, `(Map<K,V> m) -> …`):
+                    # the LAST ident before ',' / ')' is the name; generic
+                    # argument groups in the type are swallowed
                     p = self.eat()
-                    while self.at_kind("ident"):
-                        p = self.eat()
+                    while self.at_kind("ident") or self.at("<"):
+                        if self.at("<"):
+                            depth = 0
+                            while self.peek() is not None:
+                                tok = self.eat()
+                                if tok.text == "<":
+                                    depth += 1
+                                elif tok.text == ">":
+                                    depth -= 1
+                                    if depth == 0:
+                                        break
+                        else:
+                            p = self.eat()
                     params.append(p)
                 else:
                     self.eat()
@@ -138,38 +150,62 @@ class JavaParser(_AnnotationMixin, CParser):
         else:
             params.append(self.eat())
         self.expect(self.ARROW)
+        for p in params:
+            self.var_types[p.text] = "ANY"
+        if self.at("{"):
+            body = self.parse_compound()
+        else:
+            body = self._lambda_expr_body(start, self.parse_assignment_expr())
+        ref = self._make_lambda(start, params, body)
+        self.var_types = prev_vars
+        return ref
+
+    def _lambda_expr_body(self, start, expr) -> AstNode:
+        """Expression-bodied lambda → ``BLOCK { return <expr> }``."""
+        body = AstNode(kind="BLOCK", pos=start.pos, line=start.line)
+        ret = AstNode(kind="RETURN", pos=start.pos, line=start.line)
+        if expr is not None:
+            ret.add(expr, order=1, argument_index=1)
+            ret.code = expr.code
+        body.add(ret, order=1)
+        return body
+
+    def _make_lambda(self, start, params, body: AstNode) -> AstNode:
+        """Hoist a `<lambda>N` METHOD (params + body + METHOD_RETURN) and
+        return its METHOD_REF with the named-binding rename hook attached —
+        the one builder shared by every dialect's lambda spelling."""
         name = f"<lambda>{self._lambda_n}"
         self._lambda_n += 1
         method = AstNode(kind="METHOD", name=name, full_name=name,
                          signature=f"ANY({','.join('ANY' for _ in params)})",
                          pos=start.pos, line=start.line)
         for idx, p in enumerate(params, start=1):
-            self.var_types[p.text] = "ANY"
             method.add(AstNode(kind="METHOD_PARAMETER_IN", name=p.text,
                                code=p.text, pos=p.pos, line=p.line,
                                type_full_name="ANY"),
                        order=idx, argument_index=idx)
-        if self.at("{"):
-            body = self.parse_compound()
-        else:
-            expr = self.parse_assignment_expr()
-            body = AstNode(kind="BLOCK", pos=start.pos, line=start.line)
-            ret = AstNode(kind="RETURN", pos=start.pos, line=start.line)
-            if expr is not None:
-                ret.add(expr, order=1, argument_index=1)
-                ret.code = expr.code
-            body.add(ret, order=1)
         method.add(body, order=len(params) + 1)
         method.add(AstNode(kind="METHOD_RETURN", code="RET",
                            type_full_name="ANY", pos=start.pos,
                            line=start.line), order=len(params) + 2)
         method.code = self.text[start.pos:self._prev_end()].strip()
-        self.var_types = prev_vars
         self._hoisted.append(method)
         ref = AstNode(kind="METHOD_REF", name=name, full_name=name,
                       code=method.code, pos=start.pos, line=start.line)
         ref.arrow_method = method  # named-binding rename hook (declaration)
         return ref
+
+    def _adopt_lambda_name(self, rhs: AstNode | None, name: str) -> None:
+        """`f = <lambda>` binding: the lambda adopts the variable's name
+        (statically linkable), used by the JS declaration and Python
+        assignment paths."""
+        if rhs is None or getattr(rhs, "arrow_method", None) is None:
+            return
+        m = rhs.arrow_method
+        m.name = name
+        m.full_name = (f"{self.current_class}.{name}"
+                       if self.current_class else name)
+        rhs.name, rhs.full_name = m.name, m.full_name
 
     def parse_assignment_expr(self) -> AstNode | None:
         if self._at_arrow():

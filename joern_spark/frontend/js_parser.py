@@ -159,18 +159,23 @@ class JsParser(JavaParser):
         open_tok = self.eat()  # '{' | '['
         is_obj = open_tok.text == "{"
         close = "}" if is_obj else "]"
-        names: list[tuple[Token, Token]] = []  # (source prop, bound target)
+        # (source prop | element index, bound target); array holes
+        # (`[a, , b]`) advance the element index without binding
+        names: list[tuple] = []
+        elem = 0
         while self.peek() is not None and not self.at(close):
             if self.at_kind("ident"):
                 prop = self.eat()
                 if is_obj and self.accept(":") and self.at_kind("ident"):
                     # `{field: target}` rename — bind target from .field
-                    names.append((prop, self.eat()))
+                    names.append((prop, self.eat(), elem))
                 else:
-                    names.append((prop, prop))
-            else:
+                    names.append((prop, prop, elem))
+            elif not self.at(","):
                 self.eat()
-            self.accept(",")
+            if not self.accept(","):
+                break
+            elem += 1
         self.expect(close)
         self.expect("=")
         rhs = self.parse_assignment_expr()
@@ -188,7 +193,7 @@ class JsParser(JavaParser):
         if rhs is not None:
             bind.add(rhs, order=2, argument_index=2)
         out.append(bind)
-        for k, (prop, target) in enumerate(names):
+        for prop, target, k in names:
             self.var_types[target.text] = "ANY"
             out.append(AstNode(kind="LOCAL", name=target.text,
                                code=f"{start.text} {target.text}",
@@ -235,15 +240,10 @@ class JsParser(JavaParser):
             out.append(local)
             if self.accept("="):
                 rhs = self.parse_assignment_expr()
-                if rhs is not None and getattr(rhs, "arrow_method", None) is not None:
-                    # `const f = (a) => …`: adopt the declared name — the
-                    # lambda becomes a named method (statically linkable,
-                    # matching jssrc2cpg's variable-named closure binding)
-                    m = rhs.arrow_method
-                    m.name = name_tok.text
-                    m.full_name = (f"{self.current_class}.{name_tok.text}"
-                                   if self.current_class else name_tok.text)
-                    rhs.name, rhs.full_name = m.name, m.full_name
+                # `const f = (a) => …`: adopt the declared name — the
+                # lambda becomes a named method (statically linkable,
+                # matching jssrc2cpg's variable-named closure binding)
+                self._adopt_lambda_name(rhs, name_tok.text)
                 lhs = AstNode(kind="IDENTIFIER", name=name_tok.text,
                               code=name_tok.text, pos=name_tok.pos,
                               line=name_tok.line, type_full_name="ANY")
@@ -348,6 +348,8 @@ class JsParser(JavaParser):
         idx = 0
         while True:
             j = inner.find("${", i)
+            while j > 0 and inner[j - 1] == "\\":  # escaped \${…} stays text
+                j = inner.find("${", j + 2)
             if j < 0:
                 if inner[i:]:
                     idx += 1

@@ -112,9 +112,12 @@ def detect_language(doc_id: str, text: str) -> str:
         return "ruby"
     if _JS_HINT.search(text):
         return "js"
-    # `template <...>` headers are C++ (c2cpg territory) — must win over the
-    # Java `class` sniff, since `template <class U>` contains that keyword
-    if re.search(r"\btemplate\s*<", text):
+    # `template <typename T>` / `template <class U>` headers are C++
+    # (c2cpg territory) — must win over the Java `class` sniff, since
+    # `template <class U>` contains that keyword. The parameter keyword is
+    # required so a variable named `template` compared with `<` can't
+    # reroute a Java doc here.
+    if re.search(r"\btemplate\s*<\s*(typename|class)\b", text):
         return "c"
     if _JAVA_HINT.search(text):
         return "java"

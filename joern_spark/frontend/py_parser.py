@@ -428,7 +428,16 @@ class PyParser(JsParser):
             cs = AstNode(kind="CONTROL_STRUCTURE", ctrl_type="CATCH",
                          code="except", pos=c.pos, line=c.line)
             ty = ""
-            if self.at_kind("ident") and self.peek().line == c.line:
+            if self.at("("):  # `except (A, B) as e:` — tuple of types
+                self.eat()
+                parts = []
+                while self.peek() is not None and not self.at(")"):
+                    tok = self.eat()
+                    if tok.kind == "ident":
+                        parts.append(tok.text)
+                self.expect(")")
+                ty = ",".join(parts)
+            elif self.at_kind("ident") and self.peek().line == c.line:
                 ty = self.eat().text
             if self.at("as"):
                 self.eat()
@@ -514,33 +523,9 @@ class PyParser(JsParser):
                 self.eat()
             self.accept(",")
         self.accept(":")
-        expr = self.parse_expr()
-        name = f"<lambda>{self._lambda_n}"
-        self._lambda_n += 1
-        method = AstNode(kind="METHOD", name=name, full_name=name,
-                         signature=f"ANY({','.join('ANY' for _ in params)})",
-                         pos=t.pos, line=t.line)
-        for idx, p in enumerate(params, start=1):
-            method.add(AstNode(kind="METHOD_PARAMETER_IN", name=p.text,
-                               code=p.text, pos=p.pos, line=p.line,
-                               type_full_name="ANY"),
-                       order=idx, argument_index=idx)
-        body = AstNode(kind="BLOCK", pos=t.pos, line=t.line)
-        ret = AstNode(kind="RETURN", pos=t.pos, line=t.line)
-        if expr is not None:
-            ret.add(expr, order=1, argument_index=1)
-            ret.code = expr.code
-        body.add(ret, order=1)
-        method.add(body, order=len(params) + 1)
-        method.add(AstNode(kind="METHOD_RETURN", code="RET",
-                           type_full_name="ANY", pos=t.pos, line=t.line),
-                   order=len(params) + 2)
-        method.code = self.text[t.pos:self._prev_end()].strip()
+        body = self._lambda_expr_body(t, self.parse_expr())
+        ref = self._make_lambda(t, params, body)
         self.var_types = prev_vars
-        self._hoisted.append(method)
-        ref = AstNode(kind="METHOD_REF", name=name, full_name=name,
-                      code=method.code, pos=t.pos, line=t.line)
-        ref.arrow_method = method
         return ref
 
     def parse_py_list_display(self, t: Token) -> AstNode:
@@ -557,42 +542,7 @@ class PyParser(JsParser):
             return call
         first = self.parse_expr()
         if self.at("for"):
-            self.eat()
-            var = self.eat() if self.at_kind("ident") else None
-            if self.at("in"):
-                self.eat()
-            iterable = self.parse_expr()
-            cond = None
-            if self.at("if"):
-                self.eat()
-                cond = self.parse_expr()
-            self.expect("]")
-            call.code = self.text[t.pos:self._prev_end()].strip()
-            order = 0
-            if var is not None:
-                if var.text not in self.var_types:
-                    self.var_types[var.text] = "ANY"
-                bind = operator_call("<operator>.assignment",
-                                     f"{var.text} = "
-                                     f"{iterable.code if iterable else ''}",
-                                     var.pos, var.line)
-                bind.add(AstNode(kind="IDENTIFIER", name=var.text,
-                                 code=var.text, pos=var.pos, line=var.line,
-                                 type_full_name="ANY"),
-                         order=1, argument_index=1)
-                if iterable is not None:
-                    bind.add(iterable, order=2, argument_index=2)
-                order += 1
-                call.add(bind, order=order, argument_index=order)
-            elif iterable is not None:
-                order += 1
-                call.add(iterable, order=order, argument_index=order)
-            if first is not None:
-                order += 1
-                call.add(first, order=order, argument_index=order)
-            if cond is not None:
-                order += 1
-                call.add(cond, order=order, argument_index=order)
+            self._parse_comprehension_tail(call, t, [first], "]")
             return call
         idx = 0
         if first is not None:
@@ -608,14 +558,72 @@ class PyParser(JsParser):
         call.code = self.text[t.pos:self._prev_end()].strip()
         return call
 
+    def _parse_comprehension_tail(self, call: AstNode, t: Token,
+                                  body: list, close: str) -> None:
+        """Shared ``for x in it [for y in …] [if cond]`` tail for list/dict/
+        set comprehensions: every clause's per-iteration binding precedes
+        the body expression(s) in AST order so reaching-defs see
+        def-of-var-from-iterable before its uses; filter conditions follow."""
+        binds: list[AstNode] = []
+        conds: list[AstNode] = []
+        while self.at("for") or self.at("if"):
+            if self.accept("if"):
+                cond = self.parse_expr()
+                if cond is not None:
+                    conds.append(cond)
+                continue
+            self.eat()  # 'for'
+            var = self.eat() if self.at_kind("ident") else None
+            if self.at("in"):
+                self.eat()
+            iterable = self.parse_expr()
+            if var is not None:
+                if var.text not in self.var_types:
+                    self.var_types[var.text] = "ANY"
+                bind = operator_call("<operator>.assignment",
+                                     f"{var.text} = "
+                                     f"{iterable.code if iterable else ''}",
+                                     var.pos, var.line)
+                bind.add(AstNode(kind="IDENTIFIER", name=var.text,
+                                 code=var.text, pos=var.pos, line=var.line,
+                                 type_full_name="ANY"),
+                         order=1, argument_index=1)
+                if iterable is not None:
+                    bind.add(iterable, order=2, argument_index=2)
+                binds.append(bind)
+            elif iterable is not None:
+                binds.append(iterable)
+        self.expect(close)
+        call.code = self.text[t.pos:self._prev_end()].strip()
+        order = 0
+        for node in binds + [b for b in body if b is not None] + conds:
+            order += 1
+            call.add(node, order=order, argument_index=order)
+
     def parse_py_dict_display(self, t: Token) -> AstNode:
         """``{k: v, …}`` / ``{a, b}`` → dictLiteral over the element
-        expressions (pysrc2cpg dictLiteral/setLiteral lowering collapsed to
-        the dict spelling — both are PASSTHROUGH constructors)."""
+        expressions; ``{k: v for k in it}`` / ``{e for e in it}`` →
+        dictLiteral comprehension with the same binding-first lowering as
+        list comprehensions (pysrc2cpg dict/setLiteral — PASSTHROUGH)."""
         self.eat()  # '{'
         call = operator_call(OP_DICT_LITERAL, "", t.pos, t.line)
+        first = None
+        first_val = None
+        if self.peek() is not None and not self.at("}"):
+            first = self.parse_expr()
+            if self.accept(":"):
+                first_val = self.parse_expr()
+        if self.at("for"):
+            self._parse_comprehension_tail(call, t, [first, first_val], "}")
+            return call
         idx = 0
-        while self.peek() is not None and not self.at("}"):
+        for node in (first, first_val):
+            if node is not None:
+                idx += 1
+                call.add(node, order=idx, argument_index=idx)
+        while self.accept(","):
+            if self.peek() is None or self.at("}"):
+                break
             item = self.parse_expr()
             if item is not None:
                 idx += 1
@@ -625,8 +633,6 @@ class PyParser(JsParser):
                 if val is not None:
                     idx += 1
                     call.add(val, order=idx, argument_index=idx)
-            if not self.accept(","):
-                break
         self.expect("}")
         call.code = self.text[t.pos:self._prev_end()].strip()
         return call
@@ -669,14 +675,9 @@ class PyParser(JsParser):
             name_tok = self.eat()
             self.eat()  # '='
             rhs = self.parse_assignment_expr()
-            if rhs is not None and getattr(rhs, "arrow_method", None) is not None:
-                # `f = lambda x: …`: adopt the declared name (statically
-                # linkable, like JS named-arrow bindings)
-                m = rhs.arrow_method
-                m.name = name_tok.text
-                m.full_name = (f"{self.current_class}.{name_tok.text}"
-                               if self.current_class else name_tok.text)
-                rhs.name, rhs.full_name = m.name, m.full_name
+            # `f = lambda x: …`: adopt the declared name (statically
+            # linkable, like JS named-arrow bindings)
+            self._adopt_lambda_name(rhs, name_tok.text)
             out: list[AstNode] = []
             rtype = ""
             if rhs is not None:

@@ -1800,7 +1800,8 @@ DEFAULT_BUNDLE = [
 
 # query name → reference querydb pack (querydb/src/main/scala/io/joern/
 # scanners/<pack>/...); drives the per-pack CI gate (test_export_scan.py)
-# and console pack filtering
+# and run_scan(packs=...) filtering (the joern-scan `--tags`/bundle-select
+# analog)
 QUERY_PACKS = {
     "malloc-without-free": "core", "literal-to-format-sink": "core",
     "uncalled-internal-method": "core", "deeply-nested-control": "core",
@@ -1834,16 +1835,28 @@ QUERY_PACKS = {
 
 
 def run_scan(nodes: DataFrame, edges: DataFrame,
-             bundle: list[Query] | None = None) -> DataFrame:
-    """→ findings(name, title, severity, node_id, doc_id, code)."""
+             bundle: list[Query] | None = None,
+             packs: list[str] | None = None) -> DataFrame:
+    """→ findings(name, title, severity, node_id, doc_id, code).
+
+    ``packs`` restricts the default bundle to the named reference querydb
+    packs (e.g. ``["c", "android"]`` — the joern-scan bundle-select
+    analog); ignored when an explicit ``bundle`` is passed."""
     cpg = Cpg(nodes=nodes, edges=edges)
     out: DataFrame | None = None
     meta = nodes.select("node_id", "doc_id", "code")
-    for q in bundle or DEFAULT_BUNDLE:
+    queries = bundle or DEFAULT_BUNDLE
+    if bundle is None and packs is not None:
+        queries = [q for q in DEFAULT_BUNDLE if QUERY_PACKS[q.name] in packs]
+    for q in queries:
         ids = q.run(cpg).select("node_id").distinct()
         f = ids.join(meta, "node_id").select(
             F.lit(q.name).alias("name"), F.lit(q.title).alias("title"),
             F.lit(q.severity).alias("severity"), "node_id", "doc_id", "code",
         )
         out = f if out is None else out.unionByName(f)
+    if out is None:  # packs filtered everything out
+        return nodes.sparkSession.createDataFrame(
+            [], schema="name string, title string, severity double, "
+                       "node_id long, doc_id string, code string")
     return out

@@ -66,50 +66,80 @@ class Workspace:
 
     # ---- save / load ------------------------------------------------------
     def save(self, name: str, res) -> str:
-        """Commit a CpgResult's frames as the project's current snapshot.
+        """Commit a CpgResult's frames as a new project VERSION.
 
         Each frame goes through ``commit_snapshot`` (fresh snap dir +
-        manifest-pointer flip), so a kill mid-save leaves the previous
-        project state intact and re-saving the same name is a new queryable
-        version (time travel via ``lineage.read_snapshot``).
+        manifest-pointer flip); the registry then records the five stage
+        snapshot ids as ONE atomic version entry. A save killed between
+        stage commits never writes that entry, so ``open`` can never serve
+        a mixed-version project (stage manifests alone are per-stage
+        atomic, not mutually consistent — the version entry is the commit
+        point).
         """
-        from .lineage import commit_snapshot
+        from .lineage import commit_snapshot, read_manifest
 
         pdir = self.project_dir(name)
         os.makedirs(pdir, exist_ok=True)
         spark = res.nodes.sparkSession
+        snap_ids: dict[str, int] = {}
         for stage in _RESULT_STAGES:
             commit_snapshot(spark, getattr(res, stage), pdir, stage,
                             part_ids=[0])
+            snap_ids[stage] = int(read_manifest(pdir, stage)["snapshot"])
         reg = self._read_registry()
+        prev = reg["projects"].get(name, {})
+        versions = list(prev.get("versions", []))
+        versions.append({"stages": snap_ids,
+                         "saved_ms": int(time.time() * 1000)})
         reg["projects"][name] = {
             "dir": pdir,
-            "saved_ms": int(time.time() * 1000),
-            "inputPath": reg["projects"].get(name, {}).get("inputPath", ""),
+            "saved_ms": versions[-1]["saved_ms"],
+            "inputPath": prev.get("inputPath", ""),
+            "versions": versions,
         }
         self._write_registry(reg)
         return pdir
 
     def open(self, spark: SparkSession, name: str,
-             snapshot_id: int | None = None, as_of_ms: int | None = None):
+             version: int | None = None, as_of_ms: int | None = None):
         """Load a saved project into a CpgResult — a pure snapshot read
-        (works in a fresh Spark session; no pipeline recompute). Optional
-        ``snapshot_id`` / ``as_of_ms`` open an older saved version."""
+        (works in a fresh Spark session; no pipeline recompute).
+
+        ``version`` (1-based) / ``as_of_ms`` open an older save. Every open
+        resolves through ONE registry version entry — the five stage
+        snapshot ids recorded together at save time — so stages can never
+        mix across saves even if a later save was killed mid-commit."""
         from .lineage import read_snapshot
         from .pipeline import CpgResult
 
         reg = self._read_registry()
         if name not in reg["projects"]:
             raise KeyError(f"no project {name!r}; have {sorted(reg['projects'])}")
-        pdir = reg["projects"][name]["dir"]
+        meta = reg["projects"][name]
+        pdir = meta["dir"]
+        versions = meta.get("versions", [])
+        if not versions:
+            raise ValueError(f"project {name!r} has no committed version")
+        if version is not None:
+            if not 1 <= version <= len(versions):
+                raise ValueError(f"project {name!r} has versions "
+                                 f"1..{len(versions)}, not {version}")
+            entry = versions[version - 1]
+        elif as_of_ms is not None:
+            at = [v for v in versions if v["saved_ms"] <= as_of_ms]
+            if not at:
+                raise ValueError(f"project {name!r} had no version at "
+                                 f"{as_of_ms}")
+            entry = at[-1]
+        else:
+            entry = versions[-1]
         frames: dict[str, DataFrame] = {}
         for stage in _RESULT_STAGES:
             df = read_snapshot(spark, pdir, stage,
-                               snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+                               snapshot_id=entry["stages"][stage])
             if df is None:
                 raise ValueError(f"project {name!r}: stage {stage} has no "
-                                 f"committed snapshot (id={snapshot_id}, "
-                                 f"as_of_ms={as_of_ms})")
+                                 f"committed snapshot")
             frames[stage] = df
         res = CpgResult(**frames, stats={"workspace": name})
         self._open[name] = res

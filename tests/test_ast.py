@@ -333,3 +333,32 @@ def test_lambda_expressions_java_csharp_python():
         {"kind": "code", "text": php, "media_ref": "", "offset": 0}])
     assert not any("<lambda>" in (n["name"] or "")
                    for n in nodes if n["kind"] == "METHOD")
+
+
+def test_template_scoping_and_detection_precision():
+    """Round-5 review fixes: template parameter names don't leak past the
+    templated entity; a templated struct's own name stays a type (`Box<int>
+    v;` parses as a declaration); and a Java doc mentioning a variable
+    named `template` compared with `<` is NOT routed to the C parser."""
+    from joern_spark.frontend.c_parser import CParser
+    from joern_spark.frontend.lowering import detect_language
+
+    src = (
+        "template <class U> struct Box {\n  U v;\n};\n"
+        "int later() {\n  int T = 1;\n  T = 2;\n  Box<int> b;\n"
+        "  return T;\n}\n"
+    )
+    tops = CParser(src).parse_translation_unit()
+    later = [t for t in tops if t.kind == "METHOD" and t.name == "later"][0]
+    # `T = 2;` is an assignment to the int local, not a declaration of a
+    # T-typed variable; `Box<int> b;` IS a declaration
+    names = [(n.kind, n.name, n.type_full_name) for n in later.walk()
+             if n.kind == "LOCAL"]
+    assert ("LOCAL", "T", "int") in names
+    assert any(k == "LOCAL" and nm == "b" and ty.startswith("Box")
+               for k, nm, ty in names)
+    assert sum(1 for k, nm, _ in names if nm == "T") == 1
+
+    java = ("class A { int go(int template, int max) {"
+            " if (template < max) { return 1; } return 0; } }")
+    assert detect_language("doc", java) == "java"

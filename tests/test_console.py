@@ -55,16 +55,32 @@ def test_workspace_roundtrip(spark, cpg, tmp_path):
 
 
 def test_workspace_versions(spark, cpg, tmp_path):
-    """Re-saving a project commits a NEW snapshot; older versions stay
-    openable by id (time travel over the same manifests lineage.py keeps)."""
+    """Re-saving a project commits a NEW atomic version (the five stage
+    snapshot ids recorded as one registry entry); older versions stay
+    openable by number, and an interrupted save — stage manifests advanced
+    but no version entry written — is invisible to open()."""
+    import json
+
+    from joern_spark.lineage import commit_snapshot
     from joern_spark.workspace import Workspace
 
     ws = Workspace(str(tmp_path / "wsv"))
     ws.save("p", cpg)
     ws.save("p", cpg)  # second version
-    res_v1 = ws.open(spark, "p", snapshot_id=1)
-    res_v2 = ws.open(spark, "p", snapshot_id=2)
+    res_v1 = ws.open(spark, "p", version=1)
+    res_v2 = ws.open(spark, "p", version=2)
     assert res_v1.nodes.count() == res_v2.nodes.count() == cpg.nodes.count()
+
+    # simulate a save killed after ONE stage commit: nodes advances to a
+    # third snapshot but no version entry appears — open() must keep
+    # serving the consistent second version, not mix snap-3 nodes with
+    # snap-2 edges
+    commit_snapshot(spark, cpg.nodes.limit(1), ws.project_dir("p"),
+                    "nodes", part_ids=[0])
+    reg = json.load(open(ws._registry_path))
+    assert len(reg["projects"]["p"]["versions"]) == 2
+    res = ws.open(spark, "p")
+    assert res.nodes.count() == cpg.nodes.count()  # not the torn 1-row frame
 
 
 def test_console_one_shot_eval():

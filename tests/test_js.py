@@ -238,3 +238,20 @@ def test_template_dom(cpg, g):
     from joern_spark.query import Cpg
     q = Cpg(nodes=cpg.nodes, edges=cpg.edges)
     assert q.template_dom("JSXElement").to_df().count() >= 3
+
+
+def test_js_destructuring_hole_and_escaped_template():
+    """Round-5 review fixes: array-destructuring holes keep element
+    positions (`[a, , b]` binds b from index 2), and escaped `\\${…}` in a
+    template literal stays literal text."""
+    js = "let [a, , b] = v;\nlet t = `keep \\${x} end`;\n"
+    nodes, _, _ = lower_doc("d.js", [
+        {"kind": "code", "text": js, "media_ref": "", "offset": 0}])
+    codes = {n["code"] for n in nodes if n["kind"] == "CALL"
+             and n["name"] == "<operator>.assignment"}
+    assert "a = _tmp0[0]" in codes and "b = _tmp0[2]" in codes
+    fmt = [n for n in nodes if n["kind"] == "CALL"
+           and n["name"] == "<operator>.formatString"]
+    assert fmt
+    assert not any(n["kind"] == "IDENTIFIER" and n["name"] == "x"
+                   for n in nodes)

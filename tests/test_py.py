@@ -218,3 +218,35 @@ def test_py_callgraph_cha(cpg, py_nodes):
             F.col("node_id").isin([d["dst"] for d in dsts])).collect()
     }
     assert {"PWid.draw", "PWidSub.draw"} <= dst_names
+
+
+def test_py_except_tuple_and_dict_comprehension():
+    """Round-5 review fixes: `except (A, B) as e:` binds e with the tuple
+    type; dict/set comprehensions and multi-for list comprehensions stay
+    inside their display (no leaked phantom control structures)."""
+    src = ("def h2(p):\n"
+           "    d = {k: 1 for k in p}\n"
+           "    m = [a + b for a in p for b in p if a > b]\n"
+           "    try:\n"
+           "        r = work2(p)\n"
+           "    except (ValueError, KeyError) as e:\n"
+           "        r = 0\n"
+           "    return r\n")
+    nodes, _, _ = _lower(src)
+    locs = {n["name"]: n["type_full_name"] for n in nodes
+            if n["kind"] == "LOCAL"}
+    assert locs.get("e") == "ValueError,KeyError"
+    dl = [n for n in nodes if n["kind"] == "CALL"
+          and n["name"] == "<operator>.dictLiteral"]
+    assert dl and dl[0]["code"] == "{k: 1 for k in p}"
+    ll = [n for n in nodes if n["kind"] == "CALL"
+          and n["name"] == "<operator>.listLiteral"]
+    assert ll and ll[0]["code"] == "[a + b for a in p for b in p if a > b]"
+    # both iteration bindings present, body after them
+    binds = [n["code"] for n in nodes if n["kind"] == "CALL"
+             and n["code"] in ("a = p", "b = p")]
+    assert sorted(binds) == ["a = p", "b = p"]
+    # no phantom loop from leaked 'for' tokens: only TRY/CATCH here
+    cs = sorted({n["ctrl_type"] for n in nodes
+                 if n["kind"] == "CONTROL_STRUCTURE"})
+    assert cs == ["CATCH", "TRY"]
